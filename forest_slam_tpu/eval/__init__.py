@@ -1,0 +1,18 @@
+from forest_slam_tpu.eval.alignment import umeyama_alignment, align_trajectory
+from forest_slam_tpu.eval.association import associate
+from forest_slam_tpu.eval.metrics import (
+    ErrorStats,
+    ape_translation,
+    rpe_distance_ratio,
+    evaluate_ate,
+)
+
+__all__ = [
+    "umeyama_alignment",
+    "align_trajectory",
+    "associate",
+    "ErrorStats",
+    "ape_translation",
+    "rpe_distance_ratio",
+    "evaluate_ate",
+]
