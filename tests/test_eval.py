@@ -83,15 +83,26 @@ def test_ape_zero_for_sim3_related_trajectories(rng):
     assert stats_se3.rmse > 0.1
 
 
-def test_rpe_scale_error_detected(rng):
-    # straight-line trajectory; estimate has 10% scale error -> RPE ~10%
+def test_rpe_global_scale_absorbed_local_drift_detected(rng):
+    # RPE is computed after Sim(3) alignment (matching the reference's evo
+    # protocol): a GLOBAL scale error must be absorbed, while LOCALLY varying
+    # scale drift must show up.
     n = 500
     ts = np.arange(n) * 0.1
     pos = np.zeros((n, 3))
     pos[:, 0] = np.arange(n) * 0.2  # 100 m path
     quat = np.tile([0, 0, 0, 1.0], (n, 1))
     ref = Trajectory(ts, pos, quat)
-    est = Trajectory(ts, pos * 1.1, quat)
-    stats = rpe_distance_ratio(est, ref, delta_m=20.0)
+
+    est_global = Trajectory(ts, pos * 1.1, quat)
+    stats = rpe_distance_ratio(est_global, ref, delta_m=20.0)
     assert stats.n >= 4
-    np.testing.assert_allclose(stats.mean, 10.0, atol=0.5)
+    assert stats.rmse < 1e-6  # fully absorbed by alignment
+
+    # locally varying scale: first half 1.0x, second half 1.4x
+    scale = np.where(np.arange(n) < n // 2, 1.0, 1.4)
+    pos_local = np.zeros((n, 3))
+    pos_local[:, 0] = np.concatenate([[0.0], np.cumsum(0.2 * scale[1:])])
+    est_local = Trajectory(ts, pos_local, quat)
+    stats = rpe_distance_ratio(est_local, ref, delta_m=20.0)
+    assert stats.rmse > 5.0  # drift visible despite alignment
