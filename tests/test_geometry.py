@@ -1,0 +1,196 @@
+"""Synthetic-scene tests for triangulation, essential matrix, and PnP."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation
+
+from forest_slam_tpu.core.camera import PinholeCamera, project_points
+from forest_slam_tpu.geometry import (
+    triangulate_linear,
+    estimate_relative_pose,
+    sampson_error,
+    solve_pnp_ransac,
+)
+
+N = 256
+
+
+def synthetic_two_view(rng, n=N, noise=0.0, outlier_frac=0.0):
+    """Random 3D scene seen from two cameras. Returns normalized coords and
+    the ground-truth relative pose (x1 = R x0 + t)."""
+    pts = rng.uniform([-2, -1.5, 4], [2, 1.5, 12], size=(n, 3))
+    rvec = rng.normal(size=3) * 0.05
+    R = Rotation.from_rotvec(rvec).as_matrix()
+    t = rng.normal(size=3) * 0.3
+    x0 = pts[:, :2] / pts[:, 2:3]
+    p1 = (R @ pts.T).T + t
+    x1 = p1[:, :2] / p1[:, 2:3]
+    if noise:
+        x0 = x0 + rng.normal(scale=noise, size=x0.shape)
+        x1 = x1 + rng.normal(scale=noise, size=x1.shape)
+    n_out = int(n * outlier_frac)
+    if n_out:
+        x1[:n_out] = rng.uniform(-0.5, 0.5, size=(n_out, 2))
+    return x0, x1, R, t, pts
+
+
+def test_triangulation_exact(rng):
+    x0, x1, R, t, pts = synthetic_two_view(rng, n=64)
+    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P1 = jnp.asarray(np.concatenate([R, t[:, None]], axis=1))
+    X = np.asarray(triangulate_linear(P0, P1, jnp.asarray(x0), jnp.asarray(x1)))
+    np.testing.assert_allclose(X, pts, rtol=1e-3, atol=2e-3)
+
+
+def test_sampson_zero_for_true_essential(rng):
+    x0, x1, R, t, _ = synthetic_two_view(rng, n=64)
+    tx = np.array(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]]
+    )
+    E = tx @ R
+    err = np.asarray(sampson_error(jnp.asarray(E), jnp.asarray(x0), jnp.asarray(x1)))
+    assert np.max(err) < 1e-8
+
+
+def test_relative_pose_with_outliers(rng):
+    x0, x1, R, t, _ = synthetic_two_view(rng, noise=5e-4, outlier_frac=0.3)
+    valid = jnp.ones((N,), bool)
+    res = estimate_relative_pose(
+        jnp.asarray(x0, jnp.float32),
+        jnp.asarray(x1, jnp.float32),
+        valid,
+        jax.random.PRNGKey(0),
+        threshold=1.0 / 640.0,
+    )
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    # outliers rejected, most inliers kept
+    assert inl[: int(N * 0.3)].mean() < 0.1
+    assert inl[int(N * 0.3):].mean() > 0.9
+
+    R_est = np.asarray(res.R)
+    t_est = np.asarray(res.t)
+    rot_err = np.degrees(
+        np.linalg.norm(Rotation.from_matrix(R_est.T @ R).as_rotvec())
+    )
+    t_dir = t / np.linalg.norm(t)
+    t_err = np.degrees(np.arccos(np.clip(abs(t_est @ t_dir), -1, 1)))
+    assert rot_err < 0.2, f"rotation error {rot_err} deg"
+    assert t_err < 1.0, f"translation direction error {t_err} deg"
+
+
+def test_essential_matches_opencv_quality(rng):
+    cv2 = pytest.importorskip("cv2")
+    x0, x1, R, t, _ = synthetic_two_view(rng, noise=1e-3, outlier_frac=0.2)
+    f, cx, cy = 640.0, 320.0, 240.0
+    p0 = x0 * f + [cx, cy]
+    p1 = x1 * f + [cx, cy]
+    E_cv, mask = cv2.findEssentialMat(
+        p0, p1, focal=f, pp=(cx, cy), method=cv2.RANSAC, prob=0.999, threshold=1.0
+    )
+    _, R_cv, t_cv, _ = cv2.recoverPose(E_cv, p0, p1, focal=f, pp=(cx, cy))
+
+    pose = estimate_relative_pose(
+        jnp.asarray(x0, jnp.float32),
+        jnp.asarray(x1, jnp.float32),
+        jnp.ones((N,), bool),
+        jax.random.PRNGKey(1),
+        threshold=1.0 / f,
+    )
+
+    def rot_err(Ra, Rb):
+        return np.degrees(
+            np.linalg.norm(Rotation.from_matrix(np.asarray(Ra).T @ Rb).as_rotvec())
+        )
+
+    # both estimators should be close to ground truth — ours no worse than
+    # 2x OpenCV's error (5-point vs 8-point minimal solver)
+    ours = rot_err(pose.R, R)
+    cvs = rot_err(R_cv, R)
+    assert ours < max(2 * cvs, 0.3), f"ours {ours} vs opencv {cvs}"
+
+
+def make_cam():
+    K = np.array([[640.0, 0, 320.0], [0, 640.0, 240.0], [0, 0, 1]])
+    dist = np.array([-0.06, 0.094, 0, 0, 0])
+    return PinholeCamera.create(K, dist, 640, 480)
+
+
+def test_pnp_ransac_with_outliers(rng):
+    cam = make_cam()
+    pts3d = rng.uniform([-2, -1.5, 4], [2, 1.5, 12], size=(N, 3))
+    rvec = rng.normal(size=3) * 0.1
+    R = Rotation.from_rotvec(rvec).as_matrix()
+    t = rng.normal(size=3) * 0.5
+    pc = (R @ pts3d.T).T + t
+    obs = np.asarray(project_points(jnp.asarray(pc), cam))
+    obs = obs + rng.normal(scale=0.3, size=obs.shape)
+    n_out = int(N * 0.3)
+    obs[:n_out] = rng.uniform([0, 0], [640, 480], size=(n_out, 2))
+
+    res = solve_pnp_ransac(
+        jnp.asarray(pts3d, jnp.float32),
+        jnp.asarray(obs, jnp.float32),
+        jnp.ones((N,), bool),
+        cam,
+        jax.random.PRNGKey(2),
+        reproj_threshold=1.0,
+    )
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[:n_out].mean() < 0.05
+    assert inl[n_out:].mean() > 0.85
+    rot_err = np.degrees(
+        np.linalg.norm(Rotation.from_matrix(np.asarray(res.R).T @ R).as_rotvec())
+    )
+    t_err = np.linalg.norm(np.asarray(res.t) - t)
+    assert rot_err < 0.2, f"rotation error {rot_err}"
+    assert t_err < 0.05, f"translation error {t_err}"
+
+
+def test_pnp_matches_opencv_quality(rng):
+    cv2 = pytest.importorskip("cv2")
+    cam = make_cam()
+    K = np.asarray(cam.K)
+    dist = np.asarray(cam.dist)
+    pts3d = rng.uniform([-2, -1.5, 4], [2, 1.5, 12], size=(N, 3))
+    R = Rotation.from_rotvec(rng.normal(size=3) * 0.1).as_matrix()
+    t = rng.normal(size=3) * 0.5
+    pc = (R @ pts3d.T).T + t
+    obs = np.asarray(project_points(jnp.asarray(pc), cam))
+    obs = obs + rng.normal(scale=0.5, size=obs.shape)
+
+    okcv, rvec, tvec, inl_cv = cv2.solvePnPRansac(
+        pts3d, obs, K, dist, reprojectionError=1.0, confidence=0.99,
+        iterationsCount=1000, flags=cv2.SOLVEPNP_ITERATIVE,
+    )
+    R_cv, _ = cv2.Rodrigues(rvec)
+    res = solve_pnp_ransac(
+        jnp.asarray(pts3d, jnp.float32),
+        jnp.asarray(obs, jnp.float32),
+        jnp.ones((N,), bool),
+        cam,
+        jax.random.PRNGKey(3),
+    )
+
+    def errs(Re, te):
+        re = np.degrees(
+            np.linalg.norm(Rotation.from_matrix(np.asarray(Re).T @ R).as_rotvec())
+        )
+        return re, np.linalg.norm(np.asarray(te).ravel() - t)
+
+    ours_r, ours_t = errs(res.R, res.t)
+    cv_r, cv_t = errs(R_cv, tvec)
+    assert ours_r < max(2 * cv_r, 0.1), f"ours {ours_r} vs cv {cv_r}"
+    assert ours_t < max(2 * cv_t, 0.03), f"ours {ours_t} vs cv {cv_t}"
+
+
+def test_pnp_too_few_points_flagged(rng):
+    cam = make_cam()
+    pts3d = jnp.asarray(rng.uniform([-1, -1, 3], [1, 1, 8], size=(N, 3)), jnp.float32)
+    obs = jnp.asarray(rng.uniform([0, 0], [640, 480], size=(N, 2)), jnp.float32)
+    valid = jnp.zeros((N,), bool).at[:4].set(True)  # below min_inliers
+    res = solve_pnp_ransac(pts3d, obs, valid, cam, jax.random.PRNGKey(4))
+    assert not bool(res.ok)
