@@ -1,0 +1,237 @@
+"""Synthetic "forest corridor" sequence renderer.
+
+The BotanicGarden rosbags are not distributed with the reference repo
+(`.gitignore` excludes `ros_ws/src/Datasets/`; SURVEY.md §4), so end-to-end
+pipeline tests and the throughput benchmark run on a procedurally rendered
+stereo sequence with exact ground truth:
+
+- the world is a textured corridor (ground plane + two walls — deliberately
+  non-coplanar so PnP is well-posed), mimicking a forest trail's geometry;
+- each frame is rendered by ray-casting every pixel against the planes and
+  bilinearly sampling a fixed noise texture — one homography-style warp per
+  plane, exact to sub-pixel;
+- ground-truth camera poses, depth maps, and therefore disparity maps are
+  available analytically for every frame.
+
+The renderer is pure jnp (jit-able): the benchmark generates frames on the
+TPU itself, and tests render tiny sequences on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from forest_slam_tpu.core.camera import PinholeCamera, StereoRig
+from forest_slam_tpu.core.lie import se3_matrix
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class Plane(NamedTuple):
+    origin: jax.Array  # (3,) a point on the plane
+    e1: jax.Array  # (3,) texture u axis (unit)
+    e2: jax.Array  # (3,) texture v axis (unit)
+    # normal = cross(e1, e2)
+
+
+class CorridorWorld(NamedTuple):
+    planes: tuple[Plane, ...]
+    textures: jax.Array  # (P, TH, TW) float32 intensities
+    texture_scale: float  # metres per texture pixel
+
+
+def make_corridor_world(
+    key: jax.Array,
+    half_width: float = 4.0,
+    ground_y: float = 1.5,
+    wall_height: float = 6.0,
+    texture_px: int = 1024,
+    texture_scale: float = 0.05,
+) -> CorridorWorld:
+    """Ground plane + left/right walls with independent noise textures."""
+    keys = jax.random.split(key, 3)
+    texs = []
+    for k in keys:
+        t = jax.random.uniform(k, (texture_px, texture_px), minval=0.0, maxval=255.0)
+        # mild smoothing so bilinear sampling is well-behaved and gradients
+        # exist at sub-pixel shifts
+        kernel = jnp.array([0.25, 0.5, 0.25])
+        t = jnp.apply_along_axis(lambda r: jnp.convolve(r, kernel, mode="same"), 0, t)
+        t = jnp.apply_along_axis(lambda r: jnp.convolve(r, kernel, mode="same"), 1, t)
+        texs.append(t)
+    planes = (
+        # ground: y = ground_y, textured along (x, z)
+        Plane(
+            origin=jnp.array([0.0, ground_y, 0.0]),
+            e1=jnp.array([1.0, 0.0, 0.0]),
+            e2=jnp.array([0.0, 0.0, 1.0]),
+        ),
+        # left wall: x = -half_width, textured along (z, y)
+        Plane(
+            origin=jnp.array([-half_width, ground_y - wall_height, 0.0]),
+            e1=jnp.array([0.0, 0.0, 1.0]),
+            e2=jnp.array([0.0, 1.0, 0.0]),
+        ),
+        # right wall: x = +half_width
+        Plane(
+            origin=jnp.array([half_width, ground_y - wall_height, 0.0]),
+            e1=jnp.array([0.0, 0.0, 1.0]),
+            e2=jnp.array([0.0, 1.0, 0.0]),
+        ),
+    )
+    return CorridorWorld(
+        planes=planes, textures=jnp.stack(texs), texture_scale=texture_scale
+    )
+
+
+def _sample_texture(tex: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Bilinear sample with wraparound (textures tile along the corridor)."""
+    TH, TW = tex.shape
+    u = u % TW
+    v = v % TH
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    u1 = (u0 + 1) % TW
+    v1 = (v0 + 1) % TH
+    a = tex[v0, u0]
+    b = tex[v0, u1]
+    c = tex[v1, u0]
+    d = tex[v1, u1]
+    return a * (1 - fu) * (1 - fv) + b * fu * (1 - fv) + c * (1 - fu) * fv + d * fu * fv
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def render_view(
+    world: CorridorWorld,
+    T_world_cam: jax.Array,
+    K: jax.Array,
+    height: int,
+    width: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Render one camera view.
+
+    Returns (image (H, W) float32 in [0, 255], depth (H, W) float32 —
+    z-depth in the camera frame, inf where no plane is hit).
+    """
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    dirs_cam = jnp.stack(
+        [(gx - cx) / fx, (gy - cy) / fy, jnp.ones_like(gx)], axis=-1
+    )  # (H, W, 3)
+    R = T_world_cam[:3, :3]
+    o = T_world_cam[:3, 3]
+    dirs = jnp.einsum("ij,hwj->hwi", R, dirs_cam, precision=_HI)
+
+    best_depth = jnp.full((height, width), jnp.inf)
+    best_val = jnp.zeros((height, width))
+    for pi, plane in enumerate(world.planes):
+        n = jnp.cross(plane.e1, plane.e2)
+        denom = jnp.einsum("hwi,i->hw", dirs, n, precision=_HI)
+        tnum = jnp.dot(plane.origin - o, n)
+        t = tnum / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        hit = t > 1e-3
+        # z-depth along the camera axis, not ray length
+        zdepth = t * dirs_cam[..., 2]
+        point = o[None, None, :] + t[..., None] * dirs
+        rel = point - plane.origin
+        u = jnp.einsum("hwi,i->hw", rel, plane.e1, precision=_HI) / world.texture_scale
+        v = jnp.einsum("hwi,i->hw", rel, plane.e2, precision=_HI) / world.texture_scale
+        val = _sample_texture(world.textures[pi], u, v)
+        closer = hit & (zdepth < best_depth) & (zdepth > 0)
+        best_depth = jnp.where(closer, zdepth, best_depth)
+        best_val = jnp.where(closer, val, best_val)
+    return best_val, best_depth
+
+
+def corridor_trajectory(
+    n_frames: int,
+    speed: float = 0.15,
+    sway: float = 0.5,
+    sway_period: float = 120.0,
+) -> jax.Array:
+    """(N, 4, 4) T_world_cam: forward motion down the corridor with gentle
+    lateral sway and matching yaw — BotanicGarden-like 10 Hz walking pace."""
+    i = jnp.arange(n_frames, dtype=jnp.float32)
+    z = i * speed
+    x = sway * jnp.sin(2 * jnp.pi * i / sway_period)
+    dxdz = sway * (2 * jnp.pi / sway_period) * jnp.cos(2 * jnp.pi * i / sway_period) / speed
+    yaw = jnp.arctan(dxdz * speed)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(cy)
+    one = jnp.ones_like(cy)
+    R = jnp.stack(
+        [
+            jnp.stack([cy, zero, sy], -1),
+            jnp.stack([zero, one, zero], -1),
+            jnp.stack([-sy, zero, cy], -1),
+        ],
+        axis=-2,
+    )  # (N, 3, 3) yaw about y
+    t = jnp.stack([x, jnp.zeros_like(x), z], axis=-1)
+    return se3_matrix(R, t)
+
+
+class SyntheticSequence(NamedTuple):
+    images_left: jax.Array  # (N, H, W) float32 [0, 255]
+    images_right: jax.Array  # (N, H, W)
+    depths_left: jax.Array  # (N, H, W)
+    T_world_cam: jax.Array  # (N, 4, 4) left-camera poses
+    timestamps: np.ndarray  # (N,) float64
+    rig: StereoRig
+
+
+def default_rig(height: int, width: int, baseline: float = 0.25) -> StereoRig:
+    """Ideal (distortion-free) rig at the requested resolution — synthetic
+    frames are rendered pre-undistorted."""
+    f = 0.67 * width
+    K = np.array(
+        [[f, 0, width / 2 - 0.5], [0, f, height / 2 - 0.5], [0, 0, 1]], np.float32
+    )
+    cam = PinholeCamera.create(K, None, width, height)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = baseline
+    return StereoRig(left=cam, right=cam, T_left_right=jnp.asarray(T))
+
+
+def render_sequence(
+    n_frames: int,
+    height: int = 120,
+    width: int = 160,
+    seed: int = 0,
+    speed: float = 0.15,
+    dt: float = 0.1,
+) -> SyntheticSequence:
+    """Render a full stereo sequence (host convenience wrapper)."""
+    world = make_corridor_world(jax.random.PRNGKey(seed))
+    rig = default_rig(height, width)
+    Ts = corridor_trajectory(n_frames, speed=speed)
+    K = rig.left.K
+    T_lr = rig.T_left_right
+
+    def render_frame(T):
+        img_l, dep_l = render_view(world, T, K, height, width)
+        img_r, _ = render_view(world, T @ T_lr, K, height, width)
+        return img_l, img_r, dep_l
+
+    imgs_l, imgs_r, deps_l = jax.lax.map(render_frame, Ts)
+    ts = 1.6e9 + np.arange(n_frames) * dt
+    return SyntheticSequence(
+        images_left=imgs_l,
+        images_right=imgs_r,
+        depths_left=deps_l,
+        T_world_cam=Ts,
+        timestamps=ts,
+        rig=rig,
+    )

@@ -1,0 +1,141 @@
+"""Monocular visual odometry pipeline.
+
+TPU-native rebuild of the reference's ``mono_slam.py`` main loop
+(mono_slam.py:85-139): per frame — feature extraction, matching against the
+previous frame, essential-matrix RANSAC, ``recoverPose``, and cumulative
+SE(3) chaining. Architectural differences (SURVEY.md §7.1):
+
+- the frame loop is a ``lax.scan`` over a device-resident image stack with a
+  pure ``MonoState`` pytree (prev features + cumulative pose) instead of
+  Python globals — one compiled program for the whole sequence, no per-frame
+  dispatch;
+- keypoints/matches are fixed-shape masked tensors;
+- the classical front-end is our ORB (the reference's commented alternative,
+  stereo_slam.py:83-85); the learned front-end plugs into the same step via
+  the shared ``matches0`` contract.
+
+Composition convention: ``compose_mode='parity'`` reproduces the reference
+exactly — ``cumulative @= [R|t]`` with the point-transform (not camera-pose)
+relative matrix and unit-norm translation (mono scale ambiguity, quirk B6).
+``'odometry'`` composes the proper camera pose ``cumulative @= inv([R|t])``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from forest_slam_tpu.core.camera import PinholeCamera
+from forest_slam_tpu.core.lie import se3_matrix, se3_inverse
+from forest_slam_tpu.frontend import (
+    OrbConfig,
+    OrbFeatures,
+    extract_orb,
+    hamming_distance_matrix,
+    mutual_nn_match,
+)
+from forest_slam_tpu.geometry import estimate_relative_pose
+from forest_slam_tpu.io.tum import Trajectory
+
+
+class MonoConfig(NamedTuple):
+    orb: OrbConfig = OrbConfig()
+    ransac_threshold_px: float = 1.0  # mono_slam.py:111 threshold=1.0
+    n_hypotheses: int = 1024
+    max_match_distance: int = 64
+    refine_iters: int = 8
+    compose_mode: str = "parity"
+    min_matches: int = 8
+
+
+class MonoState(NamedTuple):
+    prev: OrbFeatures
+    cumulative: jax.Array  # (4, 4)
+    key: jax.Array
+
+
+class MonoStepOut(NamedTuple):
+    pose: jax.Array  # (4, 4) cumulative
+    n_matches: jax.Array
+    n_inliers: jax.Array
+    ok: jax.Array
+
+
+def _normalize(xy: jax.Array, cam: PinholeCamera) -> jax.Array:
+    return (xy - jnp.stack([cam.cx, cam.cy])) / jnp.stack([cam.fx, cam.fy])
+
+
+def mono_step(
+    state: MonoState, image: jax.Array, cam: PinholeCamera, cfg: MonoConfig
+) -> tuple[MonoState, MonoStepOut]:
+    """One VO step: image (H, W) float32 grayscale, already undistorted."""
+    feats = extract_orb(image, cfg.orb)
+    dist = hamming_distance_matrix(state.prev.desc, feats.desc)
+    matches = mutual_nn_match(
+        dist, state.prev.valid, feats.valid, max_distance=cfg.max_match_distance
+    )
+    mask = matches >= 0
+    idx = jnp.where(mask, matches, 0)
+    x0 = _normalize(state.prev.xy, cam)
+    x1 = _normalize(feats.xy[idx], cam)
+
+    key, sub = jax.random.split(state.key)
+    rel_pose = estimate_relative_pose(
+        x0,
+        x1,
+        mask,
+        sub,
+        threshold=cfg.ransac_threshold_px / cam.fx,
+        n_hypotheses=cfg.n_hypotheses,
+        refine_iters=cfg.refine_iters,
+    )
+    ok = rel_pose.ok & (jnp.sum(mask) >= cfg.min_matches)
+    rel = se3_matrix(rel_pose.R, rel_pose.t)
+    if cfg.compose_mode == "odometry":
+        rel = se3_inverse(rel)
+    rel = jnp.where(ok, rel, jnp.eye(4))
+    cumulative = state.cumulative @ rel
+    new_state = MonoState(prev=feats, cumulative=cumulative, key=key)
+    return new_state, MonoStepOut(
+        pose=cumulative,
+        n_matches=jnp.sum(mask),
+        n_inliers=rel_pose.n_inliers,
+        ok=ok,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def run_mono_vo_scan(
+    images: jax.Array, cam: PinholeCamera, cfg: MonoConfig, key: jax.Array
+) -> MonoStepOut:
+    """VO over a device-resident stack (N, H, W). Returns per-frame outputs
+    for frames 1..N-1 stacked (the first frame only seeds the state)."""
+    first = extract_orb(images[0], cfg.orb)
+    init = MonoState(prev=first, cumulative=jnp.eye(4), key=key)
+
+    def step(state, image):
+        return mono_step(state, image, cam, cfg)
+
+    _, outs = jax.lax.scan(step, init, images[1:])
+    return outs
+
+
+def run_mono_vo(
+    images,
+    timestamps,
+    cam: PinholeCamera,
+    cfg: MonoConfig = MonoConfig(),
+    seed: int = 0,
+) -> tuple[Trajectory, MonoStepOut]:
+    """Host entry point: run VO and return a TUM trajectory (frames 1..N-1,
+    like the reference, which appends poses once a previous frame exists,
+    mono_slam.py:98,138)."""
+    images = jnp.asarray(images, jnp.float32)
+    outs = run_mono_vo_scan(images, cam, cfg, jax.random.PRNGKey(seed))
+    poses = np.asarray(outs.pose, np.float64)
+    traj = Trajectory.from_matrices(np.asarray(timestamps)[1:], poses)
+    return traj, outs
