@@ -1,0 +1,164 @@
+"""SuperPoint-style keypoint detector + descriptor network (Flax).
+
+Architecture-faithful rebuild of the SuperPoint model the reference drives
+through its ``Matching`` wrapper (config at stereo_slam.py:67-77:
+``nms_radius=4, keypoint_threshold=0.005, max_keypoints=1024``): a shared
+VGG encoder, a 65-channel detector head (8x8 cells + dustbin), and a 256-d
+descriptor head. The reference's pretrained weights ship in a git submodule
+that is not vendored (SURVEY.md §7.3 item 3), so weights here are trained
+in-repo (train/); the architecture and inference semantics match.
+
+TPU-first details:
+
+- all convs run in bfloat16 with float32 accumulation (MXU path); params
+  stay float32;
+- keypoint selection is dense NMS (reduce_window max-pool) + global
+  ``top_k`` into **fixed** ``max_keypoints`` slots with a validity mask —
+  no dynamic shapes anywhere (SURVEY.md §7.1);
+- descriptor sampling is a batched bilinear gather on the coarse grid
+  (equivalent to the reference implementation's grid_sample), then
+  L2-normalized.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from forest_slam_tpu.utils.filters import maxpool2d_same
+
+
+class SuperPointConfig(NamedTuple):
+    nms_radius: int = 4  # stereo_slam.py:69
+    keypoint_threshold: float = 0.005  # stereo_slam.py:70
+    max_keypoints: int = 1024  # stereo_slam.py:71
+    descriptor_dim: int = 256
+    channels: tuple = (64, 64, 128, 128)
+    dtype: type = jnp.bfloat16
+
+
+class SuperPointFeatures(NamedTuple):
+    """Fixed-size keypoint set (batched). Invalid slots: valid=False."""
+
+    xy: jax.Array  # (B, K, 2) float32 pixel coords (x, y)
+    score: jax.Array  # (B, K) float32 detector confidence
+    desc: jax.Array  # (B, K, D) float32 L2-normalized descriptors
+    valid: jax.Array  # (B, K) bool
+
+
+def _vgg_block(x, ch, dtype, name_prefix, n=2):
+    for i in range(n):
+        x = nn.Conv(ch, (3, 3), padding="SAME", dtype=dtype, name=f"{name_prefix}_{i}")(x)
+        x = nn.relu(x)
+    return x
+
+
+class SuperPointNet(nn.Module):
+    """Raw network: image -> (dense scores (B, H, W), coarse desc (B, H/8, W/8, D))."""
+
+    cfg: SuperPointConfig = SuperPointConfig()
+
+    @nn.compact
+    def __call__(self, image: jax.Array):
+        # image: (B, H, W) float32 in [0, 1]
+        cfg = self.cfg
+        dt = cfg.dtype
+        x = image[..., None].astype(dt)
+        c1, c2, c3, c4 = cfg.channels
+        x = _vgg_block(x, c1, dt, "enc1")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, c2, dt, "enc2")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, c3, dt, "enc3")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, c4, dt, "enc4")  # (B, H/8, W/8, c4)
+
+        # detector head: 65 = 8x8 cell pixels + dustbin
+        det = nn.Conv(256, (3, 3), padding="SAME", dtype=dt, name="det_conv")(x)
+        det = nn.relu(det)
+        logits = nn.Conv(65, (1, 1), dtype=dt, name="det_out")(det)
+        logits = logits.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)[..., :64]  # drop dustbin
+        B, Hc, Wc, _ = probs.shape
+        # depth-to-space: (B, Hc, Wc, 64) -> (B, Hc*8, Wc*8)
+        heat = probs.reshape(B, Hc, Wc, 8, 8)
+        heat = heat.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
+
+        # descriptor head
+        dsc = nn.Conv(256, (3, 3), padding="SAME", dtype=dt, name="desc_conv")(x)
+        dsc = nn.relu(dsc)
+        dsc = nn.Conv(cfg.descriptor_dim, (1, 1), dtype=dt, name="desc_out")(dsc)
+        dsc = dsc.astype(jnp.float32)
+        dsc = dsc / jnp.maximum(
+            jnp.linalg.norm(dsc, axis=-1, keepdims=True), 1e-8
+        )
+        return heat, dsc
+
+
+def _sample_coarse_descriptors(
+    coarse: jax.Array, xy: jax.Array, cell: int = 8
+) -> jax.Array:
+    """Bilinear-sample (Hc, Wc, D) coarse descriptors at pixel coords
+    (K, 2); returns L2-normalized (K, D)."""
+    Hc, Wc, D = coarse.shape
+    # pixel -> coarse grid coords (cell centres at cell/2 - 0.5 offsets)
+    u = (xy[:, 0] + 0.5) / cell - 0.5
+    v = (xy[:, 1] + 0.5) / cell - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[:, None]
+    fv = (v - v0)[:, None]
+    u0 = jnp.clip(u0.astype(jnp.int32), 0, Wc - 1)
+    v0 = jnp.clip(v0.astype(jnp.int32), 0, Hc - 1)
+    u1 = jnp.clip(u0 + 1, 0, Wc - 1)
+    v1 = jnp.clip(v0 + 1, 0, Hc - 1)
+    d = (
+        coarse[v0, u0] * (1 - fu) * (1 - fv)
+        + coarse[v0, u1] * fu * (1 - fv)
+        + coarse[v1, u0] * (1 - fu) * fv
+        + coarse[v1, u1] * fu * fv
+    )
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+
+
+def select_keypoints(
+    heat: jax.Array, coarse_desc: jax.Array, cfg: SuperPointConfig
+) -> SuperPointFeatures:
+    """Dense heatmaps -> fixed-size keypoint sets (batched over B)."""
+
+    def one(h, d):
+        H, W = h.shape
+        nms = maxpool2d_same(h, 2 * cfg.nms_radius + 1)
+        kept = jnp.where((h >= nms) & (h > cfg.keypoint_threshold), h, 0.0)
+        # suppress the image border (matches the reference impl's 4px strip)
+        ys = jnp.arange(H)[:, None]
+        xs = jnp.arange(W)[None, :]
+        b = 4
+        interior = (ys >= b) & (ys < H - b) & (xs >= b) & (xs < W - b)
+        kept = jnp.where(interior, kept, 0.0)
+        vals, idx = jax.lax.top_k(kept.reshape(-1), cfg.max_keypoints)
+        valid = vals > 0.0
+        xy = jnp.stack(
+            [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)],
+            axis=-1,
+        )
+        xy = xy * valid[:, None]
+        desc = _sample_coarse_descriptors(d, xy)
+        return xy, vals, desc, valid
+
+    xy, score, desc, valid = jax.vmap(one)(heat, coarse_desc)
+    return SuperPointFeatures(xy=xy, score=score, desc=desc, valid=valid)
+
+
+class SuperPoint(nn.Module):
+    """Full extractor: batched images -> SuperPointFeatures."""
+
+    cfg: SuperPointConfig = SuperPointConfig()
+
+    @nn.compact
+    def __call__(self, image: jax.Array) -> SuperPointFeatures:
+        heat, coarse = SuperPointNet(self.cfg, name="net")(image)
+        return select_keypoints(heat, coarse, self.cfg)

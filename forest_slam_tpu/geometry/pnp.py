@@ -91,26 +91,43 @@ def _gauss_newton_refine(
     T0: jax.Array,
     pts3d: jax.Array,
     pts2d: jax.Array,
-    weights: jax.Array,
+    valid: jax.Array,
     cam: PinholeCamera,
+    threshold: float,
     iters: int = 8,
+    anneal: float = 4.0,
     damping: float = 1e-6,
 ) -> jax.Array:
-    """Masked Gauss-Newton on reprojection error; returns refined (4, 4)."""
+    """Gauss-Newton on reprojection error with annealed inlier re-gating.
 
-    def residual(xi, T):
-        Tp = se3_exp(xi) @ T
+    The gate starts at ``anneal * threshold`` and tightens to ``threshold``
+    over the first half of the iterations, recomputed from the *current*
+    pose each step — this pulls the full consensus set in from a mediocre
+    minimal hypothesis instead of polishing only its (possibly small)
+    initial inlier set. Same strategy as epipolar.refine_pose_sampson.
+    """
+    half = max(iters // 2, 1)
+
+    def reproject(T):
         pc = (
-            jnp.einsum("ij,nj->ni", Tp[:3, :3], pts3d, precision=_HI)
-            + Tp[:3, 3][None, :]
+            jnp.einsum("ij,nj->ni", T[:3, :3], pts3d, precision=_HI)
+            + T[:3, 3][None, :]
         )
-        proj = project_points(pc, cam, with_distortion=True)
-        return ((proj - pts2d) * weights[:, None]).reshape(-1)
+        return project_points(pc, cam, with_distortion=True)
 
-    def step(T, _):
+    def step(T, i):
+        frac = jnp.minimum(i.astype(jnp.float32) / half, 1.0)
+        gate = threshold * (anneal * (1.0 - frac) + frac)
+        err = jnp.linalg.norm(reproject(T) - pts2d, axis=-1)
+        w = ((err < gate) & valid).astype(pts3d.dtype)
+
+        def residual(xi):
+            Tp = se3_exp(xi) @ T
+            return ((reproject(Tp) - pts2d) * w[:, None]).reshape(-1)
+
         zero = jnp.zeros((6,), T.dtype)
-        J = jax.jacfwd(residual)(zero, T)  # (2N, 6)
-        r = residual(zero, T)
+        J = jax.jacfwd(residual)(zero)  # (2N, 6)
+        r = residual(zero)
         H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
         g = J.T @ r
         dx = -jnp.linalg.solve(H, g)
@@ -118,7 +135,7 @@ def _gauss_newton_refine(
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
         return se3_exp(dx) @ T, None
 
-    T, _ = jax.lax.scan(step, T0, None, length=iters)
+    T, _ = jax.lax.scan(step, T0, jnp.arange(iters))
     return T
 
 
@@ -155,7 +172,7 @@ def solve_pnp_ransac(
 
     T0 = se3_matrix(P_best[:, :3], P_best[:, 3])
     T = _gauss_newton_refine(
-        T0, pts3d, pts2d, inliers.astype(pts3d.dtype), cam, iters=refine_iters
+        T0, pts3d, pts2d, valid, cam, reproj_threshold, iters=refine_iters
     )
     # re-evaluate inliers after refinement (OpenCV reports post-refine set)
     P_ref = T[:3, :]

@@ -1,0 +1,188 @@
+"""Stereo visual odometry + mapping pipeline.
+
+TPU-native rebuild of the reference's ``stereo_slam.py`` main loop
+(stereo_slam.py:177-345): per stereo pair — temporal feature matching on the
+left stream, SGM disparity on the previous pair, depth back-projection of
+matched previous keypoints, PnP-RANSAC pose, cumulative chaining, and map
+accumulation. Structural notes:
+
+- one ``lax.scan`` over the (N, 2, H, W) stereo stack with a pure
+  ``StereoState`` (prev features + prev depth map + cumulative pose);
+- the reference also matches the right stream but never consumes the result
+  (dead compute, SURVEY.md §3.1) — dropped here, retrievable by running the
+  matcher on the right stack if byte-parity experiments ever need it;
+- per-frame map points are fixed-size masked slabs stacked by the scan;
+  flattening/voxelization happens once at export (fixes quirk B8's O(N^2)
+  republishing);
+- PnP failure (< 6 valid points or RANSAC collapse) holds the pose
+  (identity relative), mirroring the reference's guard (stereo_slam.py:292)
+  — but unlike the reference it cannot propagate garbage on a silent PnP
+  failure (quirk B5) because ``ok`` gates the update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from forest_slam_tpu.core.camera import StereoRig
+from forest_slam_tpu.core.lie import se3_matrix, se3_inverse
+from forest_slam_tpu.frontend import (
+    OrbConfig,
+    OrbFeatures,
+    extract_orb,
+    hamming_distance_matrix,
+    mutual_nn_match,
+)
+from forest_slam_tpu.geometry import solve_pnp_ransac
+from forest_slam_tpu.io.tum import Trajectory
+from forest_slam_tpu.stereo import (
+    SgmConfig,
+    sgm_disparity,
+    disparity_to_depth,
+    backproject_keypoints,
+)
+
+
+class StereoConfig(NamedTuple):
+    orb: OrbConfig = OrbConfig()
+    sgm: SgmConfig = SgmConfig()
+    reproj_threshold_px: float = 1.0  # stereo_slam.py:294
+    n_hypotheses: int = 1024  # iterationsCount=1000 -> static batch
+    max_match_distance: int = 64
+    min_points: int = 6  # stereo_slam.py:292
+    refine_iters: int = 8
+    compose_mode: str = "parity"
+    min_depth: float = 0.1
+    max_depth: float = 1000.0
+
+
+class StereoState(NamedTuple):
+    prev: OrbFeatures
+    prev_depth: jax.Array  # (H, W)
+    cumulative: jax.Array  # (4, 4)
+    key: jax.Array
+
+
+class StereoStepOut(NamedTuple):
+    pose: jax.Array  # (4, 4) cumulative
+    map_points: jax.Array  # (K, 3) world-frame points
+    map_valid: jax.Array  # (K,) bool
+    n_matches: jax.Array
+    n_inliers: jax.Array
+    ok: jax.Array
+
+
+def _depth_map(img_l, img_r, rig: StereoRig, cfg: StereoConfig) -> jax.Array:
+    disp = sgm_disparity(img_l, img_r, cfg.sgm)
+    return disparity_to_depth(disp, rig.left.fx, rig.baseline)
+
+
+def stereo_step(
+    state: StereoState,
+    img_l: jax.Array,
+    img_r: jax.Array,
+    rig: StereoRig,
+    cfg: StereoConfig,
+) -> tuple[StereoState, StereoStepOut]:
+    feats = extract_orb(img_l, cfg.orb)
+    depth_cur = _depth_map(img_l, img_r, rig, cfg)
+
+    dist = hamming_distance_matrix(state.prev.desc, feats.desc)
+    matches = mutual_nn_match(
+        dist, state.prev.valid, feats.valid, max_distance=cfg.max_match_distance
+    )
+    mask = matches >= 0
+    idx = jnp.where(mask, matches, 0)
+
+    # back-project matched *previous* keypoints through the previous depth
+    # map (stereo_slam.py:274-288)
+    pts3d, depth_ok = backproject_keypoints(
+        state.prev.xy, state.prev_depth, rig.left, cfg.min_depth, cfg.max_depth
+    )
+    valid = mask & depth_ok
+    obs = feats.xy[idx]  # current-frame pixel observations
+
+    key, sub = jax.random.split(state.key)
+    pnp = solve_pnp_ransac(
+        pts3d,
+        obs,
+        valid,
+        rig.left,
+        sub,
+        reproj_threshold=cfg.reproj_threshold_px,
+        n_hypotheses=cfg.n_hypotheses,
+        min_inliers=cfg.min_points,
+        refine_iters=cfg.refine_iters,
+    )
+    ok = pnp.ok & (jnp.sum(valid) >= cfg.min_points)
+    rel = se3_matrix(pnp.R, pnp.t)
+    if cfg.compose_mode == "odometry":
+        rel = se3_inverse(rel)
+    rel = jnp.where(ok, rel, jnp.eye(4))
+    cumulative = state.cumulative @ rel
+
+    # world-frame map points (stereo_slam.py:309-314): transform the
+    # previous-frame 3D points by the updated cumulative pose
+    world = (
+        jnp.einsum("ij,nj->ni", cumulative[:3, :3], pts3d) + cumulative[:3, 3]
+    )
+    map_valid = valid & ok
+
+    new_state = StereoState(
+        prev=feats, prev_depth=depth_cur, cumulative=cumulative, key=key
+    )
+    return new_state, StereoStepOut(
+        pose=cumulative,
+        map_points=world,
+        map_valid=map_valid,
+        n_matches=jnp.sum(mask),
+        n_inliers=pnp.n_inliers,
+        ok=ok,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def run_stereo_vo_scan(
+    images_l: jax.Array,
+    images_r: jax.Array,
+    rig: StereoRig,
+    cfg: StereoConfig,
+    key: jax.Array,
+) -> StereoStepOut:
+    """Stereo VO over device-resident stacks (N, H, W) x2. Outputs stacked
+    per-frame results for frames 1..N-1."""
+    first = extract_orb(images_l[0], cfg.orb)
+    first_depth = _depth_map(images_l[0], images_r[0], rig, cfg)
+    init = StereoState(
+        prev=first, prev_depth=first_depth, cumulative=jnp.eye(4), key=key
+    )
+
+    def step(state, pair):
+        return stereo_step(state, pair[0], pair[1], rig, cfg)
+
+    _, outs = jax.lax.scan(
+        step, init, jnp.stack([images_l[1:], images_r[1:]], axis=1)
+    )
+    return outs
+
+
+def run_stereo_vo(
+    images_l,
+    images_r,
+    timestamps,
+    rig: StereoRig,
+    cfg: StereoConfig = StereoConfig(),
+    seed: int = 0,
+) -> tuple[Trajectory, StereoStepOut]:
+    """Host entry point: trajectory (frames 1..N-1) + per-frame outputs."""
+    images_l = jnp.asarray(images_l, jnp.float32)
+    images_r = jnp.asarray(images_r, jnp.float32)
+    outs = run_stereo_vo_scan(images_l, images_r, rig, cfg, jax.random.PRNGKey(seed))
+    poses = np.asarray(outs.pose, np.float64)
+    traj = Trajectory.from_matrices(np.asarray(timestamps)[1:], poses)
+    return traj, outs
