@@ -1,0 +1,102 @@
+"""Learned front-end bundle: SuperPoint extraction + SuperGlue matching.
+
+The one-object equivalent of the reference's
+``Matching(model_config).eval().to(device)`` (stereo_slam.py:81): call
+``match_pair`` with two grayscale images and get the exact dict contract the
+reference consumes (stereo_slam.py:210-218):
+``keypoints0, keypoints1, matches0, matching_scores0`` — as fixed-shape
+masked tensors (``valid0/valid1`` replace ragged keypoint lists).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from forest_slam_tpu.frontend.superpoint import (
+    SuperPoint,
+    SuperPointConfig,
+    SuperPointFeatures,
+)
+from forest_slam_tpu.frontend.superglue import (
+    SuperGlue,
+    SuperGlueConfig,
+    MatchResult,
+)
+
+
+class LearnedFrontendConfig(NamedTuple):
+    superpoint: SuperPointConfig = SuperPointConfig()
+    superglue: SuperGlueConfig = SuperGlueConfig()
+
+
+class PairMatch(NamedTuple):
+    feats0: SuperPointFeatures  # batch dim squeezed: (K, ...)
+    feats1: SuperPointFeatures
+    matches0: jax.Array  # (K,) int32 index into feats1 or -1
+    matching_scores0: jax.Array  # (K,) float32
+
+
+class LearnedFrontend:
+    """Stateless apply wrapper; params are an explicit pytree argument."""
+
+    def __init__(self, cfg: LearnedFrontendConfig = LearnedFrontendConfig()):
+        self.cfg = cfg
+        self.superpoint = SuperPoint(cfg.superpoint)
+        self.superglue = SuperGlue(cfg.superglue)
+
+    def init(self, key: jax.Array, image_shape: tuple[int, int]) -> dict:
+        """Random-init params for a given (H, W)."""
+        k1, k2 = jax.random.split(key)
+        H, W = image_shape
+        dummy = jnp.zeros((1, H, W), jnp.float32)
+        sp_params = self.superpoint.init(k1, dummy)
+        feats = self.superpoint.apply(sp_params, dummy)
+        sg_params = self.superglue.init(
+            k2,
+            feats.xy, feats.score, feats.desc, feats.valid,
+            feats.xy, feats.score, feats.desc, feats.valid,
+            (H, W),
+        )
+        return {"superpoint": sp_params, "superglue": sg_params}
+
+    def extract(self, params: dict, images: jax.Array) -> SuperPointFeatures:
+        """images (B, H, W) in [0, 255] -> batched features."""
+        return self.superpoint.apply(params["superpoint"], images / 255.0)
+
+    def match_features(
+        self,
+        params: dict,
+        f0: SuperPointFeatures,
+        f1: SuperPointFeatures,
+        image_shape: tuple[int, int],
+    ) -> MatchResult:
+        return self.superglue.apply(
+            params["superglue"],
+            f0.xy, f0.score, f0.desc, f0.valid,
+            f1.xy, f1.score, f1.desc, f1.valid,
+            image_shape,
+        )
+
+    def match_pair(
+        self, params: dict, img0: jax.Array, img1: jax.Array
+    ) -> PairMatch:
+        """Two (H, W) grayscale images in [0, 255] -> match contract.
+
+        Both images run through the encoder as one batch of 2 (better MXU
+        utilization than the reference's two sequential forwards).
+        """
+        H, W = img0.shape
+        feats = self.extract(params, jnp.stack([img0, img1]))
+        f0 = jax.tree.map(lambda a: a[0:1], feats)
+        f1 = jax.tree.map(lambda a: a[1:2], feats)
+        res = self.match_features(params, f0, f1, (H, W))
+        squeeze = lambda a: a[0]
+        return PairMatch(
+            feats0=jax.tree.map(squeeze, f0),
+            feats1=jax.tree.map(squeeze, f1),
+            matches0=res.matches0[0],
+            matching_scores0=res.matching_scores0[0],
+        )

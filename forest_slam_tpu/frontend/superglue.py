@@ -172,7 +172,8 @@ class SuperGlue(nn.Module):
         xy0, score0, desc0, valid0,
         xy1, score1, desc1, valid1,
         image_shape,  # (H, W) for coordinate normalization
-    ) -> MatchResult:
+        return_couplings: bool = False,
+    ):
         cfg = self.cfg
         H, W = image_shape
         scale = jnp.array([W, H], jnp.float32)
@@ -202,6 +203,8 @@ class SuperGlue(nn.Module):
         log_p = log_sinkhorn(
             scores, valid0, valid1, alpha, cfg.sinkhorn_iterations
         )
+        if return_couplings:
+            return log_p
         return match_from_couplings(
             log_p, valid0, valid1, cfg.match_threshold
         )

@@ -56,8 +56,16 @@ def _vgg_block(x, ch, dtype, name_prefix, n=2):
     return x
 
 
+class SuperPointRaw(NamedTuple):
+    """Dense network outputs (training consumes logits, inference the heat)."""
+
+    heat: jax.Array  # (B, H, W) keypoint probability
+    coarse_desc: jax.Array  # (B, H/8, W/8, D) L2-normalized
+    det_logits: jax.Array  # (B, H/8, W/8, 65) pre-softmax detector head
+
+
 class SuperPointNet(nn.Module):
-    """Raw network: image -> (dense scores (B, H, W), coarse desc (B, H/8, W/8, D))."""
+    """Raw network: image -> SuperPointRaw."""
 
     cfg: SuperPointConfig = SuperPointConfig()
 
@@ -95,7 +103,7 @@ class SuperPointNet(nn.Module):
         dsc = dsc / jnp.maximum(
             jnp.linalg.norm(dsc, axis=-1, keepdims=True), 1e-8
         )
-        return heat, dsc
+        return SuperPointRaw(heat=heat, coarse_desc=dsc, det_logits=logits)
 
 
 def _sample_coarse_descriptors(
@@ -160,5 +168,5 @@ class SuperPoint(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array) -> SuperPointFeatures:
-        heat, coarse = SuperPointNet(self.cfg, name="net")(image)
-        return select_keypoints(heat, coarse, self.cfg)
+        raw = SuperPointNet(self.cfg, name="net")(image)
+        return select_keypoints(raw.heat, raw.coarse_desc, self.cfg)

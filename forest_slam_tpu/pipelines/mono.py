@@ -23,7 +23,7 @@ relative matrix and unit-norm translation (mono scale ambiguity, quirk B6).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
@@ -31,13 +31,8 @@ import jax.numpy as jnp
 
 from forest_slam_tpu.core.camera import PinholeCamera
 from forest_slam_tpu.core.lie import se3_matrix, se3_inverse
-from forest_slam_tpu.frontend import (
-    OrbConfig,
-    OrbFeatures,
-    extract_orb,
-    hamming_distance_matrix,
-    mutual_nn_match,
-)
+from forest_slam_tpu.frontend import OrbConfig
+from forest_slam_tpu.frontend.base import FrontendFns, orb_frontend
 from forest_slam_tpu.geometry import estimate_relative_pose
 from forest_slam_tpu.io.tum import Trajectory
 
@@ -53,7 +48,7 @@ class MonoConfig(NamedTuple):
 
 
 class MonoState(NamedTuple):
-    prev: OrbFeatures
+    prev: Any  # previous-frame features (front-end specific pytree)
     cumulative: jax.Array  # (4, 4)
     key: jax.Array
 
@@ -70,14 +65,16 @@ def _normalize(xy: jax.Array, cam: PinholeCamera) -> jax.Array:
 
 
 def mono_step(
-    state: MonoState, image: jax.Array, cam: PinholeCamera, cfg: MonoConfig
+    state: MonoState,
+    image: jax.Array,
+    cam: PinholeCamera,
+    cfg: MonoConfig,
+    frontend: FrontendFns,
+    fparams,
 ) -> tuple[MonoState, MonoStepOut]:
     """One VO step: image (H, W) float32 grayscale, already undistorted."""
-    feats = extract_orb(image, cfg.orb)
-    dist = hamming_distance_matrix(state.prev.desc, feats.desc)
-    matches = mutual_nn_match(
-        dist, state.prev.valid, feats.valid, max_distance=cfg.max_match_distance
-    )
+    feats = frontend.extract(fparams, image)
+    matches = frontend.match(fparams, state.prev, feats, image.shape)
     mask = matches >= 0
     idx = jnp.where(mask, matches, 0)
     x0 = _normalize(state.prev.xy, cam)
@@ -108,17 +105,22 @@ def mono_step(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(2, 4))
 def run_mono_vo_scan(
-    images: jax.Array, cam: PinholeCamera, cfg: MonoConfig, key: jax.Array
+    images: jax.Array,
+    cam: PinholeCamera,
+    cfg: MonoConfig,
+    key: jax.Array,
+    frontend: FrontendFns,
+    fparams,
 ) -> MonoStepOut:
     """VO over a device-resident stack (N, H, W). Returns per-frame outputs
     for frames 1..N-1 stacked (the first frame only seeds the state)."""
-    first = extract_orb(images[0], cfg.orb)
+    first = frontend.extract(fparams, images[0])
     init = MonoState(prev=first, cumulative=jnp.eye(4), key=key)
 
     def step(state, image):
-        return mono_step(state, image, cam, cfg)
+        return mono_step(state, image, cam, cfg, frontend, fparams)
 
     _, outs = jax.lax.scan(step, init, images[1:])
     return outs
@@ -130,12 +132,19 @@ def run_mono_vo(
     cam: PinholeCamera,
     cfg: MonoConfig = MonoConfig(),
     seed: int = 0,
+    frontend: FrontendFns | None = None,
+    fparams=None,
 ) -> tuple[Trajectory, MonoStepOut]:
     """Host entry point: run VO and return a TUM trajectory (frames 1..N-1,
     like the reference, which appends poses once a previous frame exists,
-    mono_slam.py:98,138)."""
+    mono_slam.py:98,138). Default front-end is ORB; pass
+    ``frontend=learned_frontend(fe), fparams=weights`` for SP+SG."""
+    if frontend is None:
+        frontend = orb_frontend(cfg.orb, cfg.max_match_distance)
     images = jnp.asarray(images, jnp.float32)
-    outs = run_mono_vo_scan(images, cam, cfg, jax.random.PRNGKey(seed))
+    outs = run_mono_vo_scan(
+        images, cam, cfg, jax.random.PRNGKey(seed), frontend, fparams
+    )
     poses = np.asarray(outs.pose, np.float64)
     traj = Trajectory.from_matrices(np.asarray(timestamps)[1:], poses)
     return traj, outs

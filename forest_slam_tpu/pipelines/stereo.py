@@ -23,7 +23,7 @@ accumulation. Structural notes:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import numpy as np
 import jax
@@ -31,13 +31,8 @@ import jax.numpy as jnp
 
 from forest_slam_tpu.core.camera import StereoRig
 from forest_slam_tpu.core.lie import se3_matrix, se3_inverse
-from forest_slam_tpu.frontend import (
-    OrbConfig,
-    OrbFeatures,
-    extract_orb,
-    hamming_distance_matrix,
-    mutual_nn_match,
-)
+from forest_slam_tpu.frontend import OrbConfig
+from forest_slam_tpu.frontend.base import FrontendFns, orb_frontend
 from forest_slam_tpu.geometry import solve_pnp_ransac
 from forest_slam_tpu.io.tum import Trajectory
 from forest_slam_tpu.stereo import (
@@ -62,7 +57,7 @@ class StereoConfig(NamedTuple):
 
 
 class StereoState(NamedTuple):
-    prev: OrbFeatures
+    prev: Any  # previous-frame features (front-end specific pytree)
     prev_depth: jax.Array  # (H, W)
     cumulative: jax.Array  # (4, 4)
     key: jax.Array
@@ -88,14 +83,13 @@ def stereo_step(
     img_r: jax.Array,
     rig: StereoRig,
     cfg: StereoConfig,
+    frontend: FrontendFns,
+    fparams,
 ) -> tuple[StereoState, StereoStepOut]:
-    feats = extract_orb(img_l, cfg.orb)
+    feats = frontend.extract(fparams, img_l)
     depth_cur = _depth_map(img_l, img_r, rig, cfg)
 
-    dist = hamming_distance_matrix(state.prev.desc, feats.desc)
-    matches = mutual_nn_match(
-        dist, state.prev.valid, feats.valid, max_distance=cfg.max_match_distance
-    )
+    matches = frontend.match(fparams, state.prev, feats, img_l.shape)
     mask = matches >= 0
     idx = jnp.where(mask, matches, 0)
 
@@ -146,24 +140,26 @@ def stereo_step(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 5))
 def run_stereo_vo_scan(
     images_l: jax.Array,
     images_r: jax.Array,
     rig: StereoRig,
     cfg: StereoConfig,
     key: jax.Array,
+    frontend: FrontendFns,
+    fparams,
 ) -> StereoStepOut:
     """Stereo VO over device-resident stacks (N, H, W) x2. Outputs stacked
     per-frame results for frames 1..N-1."""
-    first = extract_orb(images_l[0], cfg.orb)
+    first = frontend.extract(fparams, images_l[0])
     first_depth = _depth_map(images_l[0], images_r[0], rig, cfg)
     init = StereoState(
         prev=first, prev_depth=first_depth, cumulative=jnp.eye(4), key=key
     )
 
     def step(state, pair):
-        return stereo_step(state, pair[0], pair[1], rig, cfg)
+        return stereo_step(state, pair[0], pair[1], rig, cfg, frontend, fparams)
 
     _, outs = jax.lax.scan(
         step, init, jnp.stack([images_l[1:], images_r[1:]], axis=1)
@@ -178,11 +174,19 @@ def run_stereo_vo(
     rig: StereoRig,
     cfg: StereoConfig = StereoConfig(),
     seed: int = 0,
+    frontend: FrontendFns | None = None,
+    fparams=None,
 ) -> tuple[Trajectory, StereoStepOut]:
-    """Host entry point: trajectory (frames 1..N-1) + per-frame outputs."""
+    """Host entry point: trajectory (frames 1..N-1) + per-frame outputs.
+    Default front-end is ORB; pass ``frontend=learned_frontend(fe),
+    fparams=weights`` for SP+SG."""
+    if frontend is None:
+        frontend = orb_frontend(cfg.orb, cfg.max_match_distance)
     images_l = jnp.asarray(images_l, jnp.float32)
     images_r = jnp.asarray(images_r, jnp.float32)
-    outs = run_stereo_vo_scan(images_l, images_r, rig, cfg, jax.random.PRNGKey(seed))
+    outs = run_stereo_vo_scan(
+        images_l, images_r, rig, cfg, jax.random.PRNGKey(seed), frontend, fparams
+    )
     poses = np.asarray(outs.pose, np.float64)
     traj = Trajectory.from_matrices(np.asarray(timestamps)[1:], poses)
     return traj, outs

@@ -1,0 +1,200 @@
+"""Training loop for the learned front-end (SuperPoint + SuperGlue jointly).
+
+One jitted ``train_step`` computes: detector cell-CE on both images of a
+homography pair, descriptor InfoNCE at ground-truth correspondences, and
+the SuperGlue Sinkhorn NLL — then an AdamW update. ``make_sharded_train_step``
+wraps the same step for a ('data', 'model') mesh: batch sharded over data,
+large kernels tensor-sharded over model (parallel/mesh.py), which is the
+multi-chip training path exercised by ``__graft_entry__.dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from forest_slam_tpu.frontend.superpoint import (
+    SuperPointConfig,
+    SuperPointNet,
+    _sample_coarse_descriptors,
+)
+from forest_slam_tpu.frontend.superglue import SuperGlue, SuperGlueConfig
+from forest_slam_tpu.parallel.mesh import (
+    batch_shardings,
+    param_shardings,
+    replicated,
+)
+from forest_slam_tpu.train.data import TrainingBatch, make_training_batch
+from forest_slam_tpu.train.losses import (
+    descriptor_nce_loss,
+    detector_loss,
+    matching_loss,
+)
+
+
+class TrainConfig(NamedTuple):
+    superpoint: SuperPointConfig = SuperPointConfig()
+    superglue: SuperGlueConfig = SuperGlueConfig()
+    height: int = 120
+    width: int = 160
+    batch_size: int = 8
+    max_corners: int = 48
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    w_detector: float = 1.0
+    w_descriptor: float = 1.0
+    w_matching: float = 0.5
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _make_modules(cfg: TrainConfig):
+    return SuperPointNet(cfg.superpoint), SuperGlue(cfg.superglue)
+
+
+def _make_optimizer(cfg: TrainConfig):
+    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+
+
+def create_train_state(key: jax.Array, cfg: TrainConfig) -> TrainState:
+    sp, sg = _make_modules(cfg)
+    k1, k2 = jax.random.split(key)
+    dummy_img = jnp.zeros((1, cfg.height, cfg.width), jnp.float32)
+    sp_params = sp.init(k1, dummy_img)
+    M = cfg.max_corners
+    dummy_xy = jnp.zeros((1, M, 2))
+    dummy_sc = jnp.zeros((1, M))
+    dummy_d = jnp.zeros((1, M, cfg.superglue.descriptor_dim))
+    dummy_v = jnp.ones((1, M), bool)
+    sg_params = sg.init(
+        k2,
+        dummy_xy, dummy_sc, dummy_d, dummy_v,
+        dummy_xy, dummy_sc, dummy_d, dummy_v,
+        (cfg.height, cfg.width),
+    )
+    params = {"superpoint": sp_params, "superglue": sg_params}
+    opt_state = _make_optimizer(cfg).init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def loss_fn(params, batch: TrainingBatch, cfg: TrainConfig):
+    sp, sg = _make_modules(cfg)
+    B = batch.image0.shape[0]
+    images = jnp.concatenate([batch.image0, batch.image1]) / 255.0  # (2B,H,W)
+    raw = sp.apply(params["superpoint"], images)
+
+    l_det = detector_loss(
+        raw.det_logits,
+        jnp.concatenate([batch.corners0, batch.corners1]),
+        jnp.concatenate([batch.valid0, batch.valid1]),
+    )
+
+    # descriptors at GT correspondences (differentiable bilinear sampling)
+    desc0 = jax.vmap(_sample_coarse_descriptors)(
+        raw.coarse_desc[:B], batch.corners0
+    )
+    desc1 = jax.vmap(_sample_coarse_descriptors)(
+        raw.coarse_desc[B:], batch.corners1
+    )
+    matchable = batch.valid0 & batch.valid1
+    l_desc = descriptor_nce_loss(desc0, desc1, matchable)
+
+    # SuperGlue on GT-corner keypoint sets
+    score = jnp.ones_like(batch.valid0, jnp.float32)
+    log_p = sg.apply(
+        params["superglue"],
+        batch.corners0, score, desc0, batch.valid0,
+        batch.corners1, score, desc1, batch.valid1,
+        (cfg.height, cfg.width),
+        return_couplings=True,
+    )
+    M = batch.valid0.shape[1]
+    gt = jnp.where(matchable, jnp.arange(M)[None, :], -1)
+    l_match = matching_loss(log_p, gt, batch.valid0, batch.valid1)
+
+    total = (
+        cfg.w_detector * l_det
+        + cfg.w_descriptor * l_desc
+        + cfg.w_matching * l_match
+    )
+    return total, {
+        "loss": total,
+        "detector": l_det,
+        "descriptor": l_desc,
+        "matching": l_match,
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def train_step(state: TrainState, batch: TrainingBatch, cfg: TrainConfig):
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, cfg)
+    updates, opt_state = _make_optimizer(cfg).update(
+        grads, state.opt_state, state.params
+    )
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
+def make_sharded_train_step(mesh, state: TrainState, cfg: TrainConfig):
+    """Return (sharded_step, sharded_state): the same train step jitted with
+    explicit dp/tp shardings for ``mesh``. Use for multi-chip training and
+    the driver's multichip dry-run."""
+    rep = replicated(mesh)
+    state_sh = TrainState(
+        # AdamW moments mirror the param tree (same nested keys incl.
+        # 'kernel'), so the same TP sharding rule applies to both.
+        params=param_shardings(state.params, mesh),
+        opt_state=param_shardings(state.opt_state, mesh),
+        step=rep,
+    )
+    sharded_state = jax.device_put(state, state_sh)
+
+    def step_fn(st, batch):
+        return train_step(st, batch, cfg)
+
+    dummy_batch = jax.eval_shape(
+        lambda k: make_training_batch(
+            k, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
+        ),
+        jax.random.PRNGKey(0),
+    )
+    b_sh = batch_shardings(dummy_batch, mesh)
+    sharded_step = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, b_sh),
+        out_shardings=(state_sh, rep),
+    )
+    return sharded_step, sharded_state
+
+
+def train(
+    cfg: TrainConfig,
+    n_steps: int,
+    seed: int = 0,
+    log_every: int = 50,
+    state: TrainState | None = None,
+):
+    """Simple single-host training loop (batches generated on device)."""
+    key = jax.random.PRNGKey(seed)
+    if state is None:
+        key, init_key = jax.random.split(key)
+        state = create_train_state(init_key, cfg)
+    history = []
+    for i in range(n_steps):
+        key, bk = jax.random.split(key)
+        batch = make_training_batch(
+            bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
+        )
+        state, metrics = train_step(state, batch, cfg)
+        if i % log_every == 0 or i == n_steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append((i, m))
+    return state, history

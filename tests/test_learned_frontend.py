@@ -1,0 +1,108 @@
+"""Shape/mask/NaN correctness of the SuperPoint + SuperGlue stack.
+
+Matching *quality* is gated separately after training (tests/test_training);
+a random-init network must still be structurally sound: fixed shapes, valid
+masks, NaN-free Sinkhorn, contract-correct decoding.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from forest_slam_tpu.frontend.superpoint import SuperPointConfig
+from forest_slam_tpu.frontend.superglue import (
+    SuperGlueConfig,
+    log_sinkhorn,
+    match_from_couplings,
+)
+from forest_slam_tpu.frontend.learned import LearnedFrontend, LearnedFrontendConfig
+
+CFG = LearnedFrontendConfig(
+    superpoint=SuperPointConfig(max_keypoints=128, keypoint_threshold=1e-4),
+    superglue=SuperGlueConfig(gnn_layers=2, sinkhorn_iterations=10),
+)
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def frontend_and_params():
+    fe = LearnedFrontend(CFG)
+    params = fe.init(jax.random.PRNGKey(0), (H, W))
+    return fe, params
+
+
+def test_extract_shapes_and_masks(frontend_and_params, rng):
+    fe, params = frontend_and_params
+    imgs = jnp.asarray(rng.integers(0, 255, size=(2, H, W)), jnp.float32)
+    feats = fe.extract(params, imgs)
+    K = CFG.superpoint.max_keypoints
+    assert feats.xy.shape == (2, K, 2)
+    assert feats.desc.shape == (2, K, 256)
+    assert feats.valid.shape == (2, K)
+    xy = np.asarray(feats.xy)
+    assert np.all(xy[..., 0] < W) and np.all(xy[..., 1] < H)
+    # descriptors are unit norm
+    d = np.asarray(feats.desc)
+    v = np.asarray(feats.valid)
+    norms = np.linalg.norm(d[v], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_match_pair_contract(frontend_and_params, rng):
+    fe, params = frontend_and_params
+    img0 = jnp.asarray(rng.integers(0, 255, size=(H, W)), jnp.float32)
+    img1 = jnp.asarray(rng.integers(0, 255, size=(H, W)), jnp.float32)
+    out = fe.match_pair(params, img0, img1)
+    K = CFG.superpoint.max_keypoints
+    assert out.matches0.shape == (K,)
+    assert out.matching_scores0.shape == (K,)
+    m = np.asarray(out.matches0)
+    s = np.asarray(out.matching_scores0)
+    assert np.all((m >= -1) & (m < K))
+    assert np.all((s >= 0) & (s <= 1))
+    assert np.all(np.isfinite(s))
+    # matched slots must be valid keypoints on both sides
+    v0 = np.asarray(out.feats0.valid)
+    v1 = np.asarray(out.feats1.valid)
+    matched = m >= 0
+    assert np.all(v0[matched])
+    assert np.all(v1[m[matched]])
+
+
+def test_sinkhorn_marginals_and_nan_safety(rng):
+    B, K0, K1 = 2, 16, 12
+    scores = jnp.asarray(rng.normal(size=(B, K0, K1)), jnp.float32)
+    valid0 = jnp.asarray(rng.random((B, K0)) < 0.7)
+    valid1 = jnp.asarray(rng.random((B, K1)) < 0.7)
+    # ensure at least one valid on each side
+    valid0 = valid0.at[:, 0].set(True)
+    valid1 = valid1.at[:, 0].set(True)
+    log_p = log_sinkhorn(scores, valid0, valid1, jnp.asarray(1.0), iters=50)
+    p = np.exp(np.asarray(log_p))
+    assert np.all(np.isfinite(np.asarray(log_p) < 1e30))
+    # row marginals: each valid keypoint's mass (incl. dustbin) ~ 1
+    row = p[:, :-1, :].sum(axis=2)
+    v0 = np.asarray(valid0)
+    np.testing.assert_allclose(row[v0], 1.0, atol=0.05)
+    col = p[:, :, :-1].sum(axis=1)
+    v1 = np.asarray(valid1)
+    np.testing.assert_allclose(col[v1], 1.0, atol=0.05)
+    # invalid slots carry ~no mass
+    assert row[~v0].max(initial=0.0) < 1e-3
+    assert col[~v1].max(initial=0.0) < 1e-3
+
+
+def test_match_decoding_mutual_threshold():
+    # hand-crafted couplings: kp0[0] <-> kp1[1] strong; kp0[1] -> dustbin
+    K = 3
+    log_p = jnp.full((1, K + 1, K + 1), -10.0)
+    log_p = log_p.at[0, 0, 1].set(-0.1)  # strong pair
+    log_p = log_p.at[0, 1, K].set(-0.1)  # to dustbin
+    log_p = log_p.at[0, 2, 0].set(-3.0)  # weak pair (exp ~ 0.05 < 0.2)
+    valid = jnp.ones((1, K), bool)
+    res = match_from_couplings(log_p, valid, valid, threshold=0.2)
+    m = np.asarray(res.matches0[0])
+    assert m[0] == 1
+    assert m[1] == -1  # dustbin
+    assert m[2] == -1  # below threshold

@@ -1,0 +1,122 @@
+"""Training-subsystem tests: data GT, loss behavior, sharded step on a mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from forest_slam_tpu.frontend.superpoint import SuperPointConfig
+from forest_slam_tpu.frontend.superglue import SuperGlueConfig
+from forest_slam_tpu.parallel import make_mesh
+from forest_slam_tpu.train import (
+    make_training_batch,
+    random_homography,
+    warp_image,
+)
+from forest_slam_tpu.train.data import apply_homography
+from forest_slam_tpu.train.losses import detector_labels
+from forest_slam_tpu.train.trainer import (
+    TrainConfig,
+    create_train_state,
+    train_step,
+    make_sharded_train_step,
+    make_training_batch as _mtb,  # noqa: F401
+)
+
+TINY = TrainConfig(
+    superpoint=SuperPointConfig(max_keypoints=64),
+    superglue=SuperGlueConfig(gnn_layers=2, sinkhorn_iterations=10),
+    height=64,
+    width=80,
+    batch_size=2,
+    max_corners=24,
+    learning_rate=2e-3,
+)
+
+
+def test_warp_consistency(rng):
+    """Warped image sampled at H(p) equals original at p (smooth image so
+    sub-pixel interpolation differences stay small)."""
+    ys, xs = np.mgrid[0:64, 0:80].astype(np.float64)
+    img = jnp.asarray(
+        120 + 60 * np.sin(xs / 6.0) + 50 * np.cos(ys / 5.0), jnp.float32
+    )
+    Hm = random_homography(jax.random.PRNGKey(1), 64, 80)
+    warped = warp_image(img, Hm)
+    pts = jnp.asarray(rng.uniform([10, 10], [70, 54], size=(50, 2)), jnp.float32)
+    dst = np.asarray(apply_homography(Hm, pts))
+    ok = (
+        (dst[:, 0] > 2) & (dst[:, 0] < 77) & (dst[:, 1] > 2) & (dst[:, 1] < 61)
+    )
+    w = np.asarray(warped)
+    o = np.asarray(img)
+    errs = []
+    for p, q in zip(np.asarray(pts)[ok], dst[ok]):
+        errs.append(
+            abs(w[int(round(q[1])), int(round(q[0]))] - o[int(round(p[1])), int(round(p[0]))])
+        )
+    assert np.median(errs) < 10.0
+
+
+def test_training_batch_gt(rng):
+    batch = make_training_batch(jax.random.PRNGKey(2), 3, 64, 80, 24)
+    assert batch.image0.shape == (3, 64, 80)
+    v0 = np.asarray(batch.valid0)
+    v1 = np.asarray(batch.valid1)
+    assert v0.any() and v1.any()
+    assert np.all(v1 <= v0)  # visible in 1 implies was a valid corner
+    c1 = np.asarray(batch.corners1)
+    m = v1
+    assert np.all(c1[m][:, 0] >= 0) and np.all(c1[m][:, 0] < 80)
+
+
+def test_detector_labels_roundtrip():
+    corners = jnp.asarray([[10.0, 12.0], [33.0, 40.0]])
+    valid = jnp.asarray([True, True])
+    labels = np.asarray(detector_labels(corners, valid, 64, 80))
+    assert labels.shape == (8, 10)
+    # corner (x=10,y=12): cell (1,1), sub = (12%8)*8 + (10%8) = 34
+    assert labels[1, 1] == 34
+    assert labels[5, 4] == (40 % 8) * 8 + (33 % 8)
+    assert (labels == 64).sum() == 8 * 10 - 2
+
+
+def test_train_step_reduces_loss():
+    state = create_train_state(jax.random.PRNGKey(0), TINY)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for i in range(30):
+        key, bk = jax.random.split(key)
+        batch = make_training_batch(bk, TINY.batch_size, TINY.height, TINY.width, TINY.max_corners)
+        state, metrics = train_step(state, batch, TINY)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses[:5] + losses[-5:]
+
+
+def test_sharded_train_step_on_mesh():
+    """The dp+tp-sharded step must compile and run on the 8-device CPU mesh
+    and agree with the unsharded step's metrics."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 2, "model": 4}
+    state = create_train_state(jax.random.PRNGKey(0), TINY)
+    batch = make_training_batch(
+        jax.random.PRNGKey(4), TINY.batch_size, TINY.height, TINY.width, TINY.max_corners
+    )
+    ref_state, ref_metrics = train_step(state, batch, TINY)
+
+    step, sstate = make_sharded_train_step(mesh, state, TINY)
+    new_state, metrics = step(sstate, batch)
+    assert float(new_state.step) == 1
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-2
+    )
+    # params actually sharded over the model axis
+    kernels = [
+        x for x in jax.tree.leaves(new_state.params)
+        if hasattr(x, "sharding") and x.ndim >= 2 and x.shape[-1] >= 8
+    ]
+    assert any(
+        not x.sharding.is_fully_replicated for x in kernels
+    ), "no kernel ended up tensor-sharded"
