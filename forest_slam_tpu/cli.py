@@ -1,0 +1,245 @@
+"""forest-slam command line.
+
+Mirrors the reference's entry points as subcommands instead of standalone
+scripts with hard-coded paths (SURVEY.md §5 "Config / flag system"):
+
+  forest-slam mono    — mono_slam.py       (VO -> TUM trajectory)
+  forest-slam stereo  — stereo_slam.py     (VO + map -> TUM + PLY)
+  forest-slam gt-traj — gt_localisation.py (GT trajectory from a bag)
+  forest-slam gt-map  — gt_mapping.py      (GT lidar map from a bag)
+  forest-slam eval    — the evo step       (APE/RPE between TUM files)
+  forest-slam train-frontend — train SuperPoint+SuperGlue weights
+
+Inputs are either a rosbag (--bag) or the synthetic corridor (--synthetic
+N), since the BotanicGarden bags are not distributed with the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p, stereo: bool):
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bag", help="rosbag path (BotanicGarden calibration)")
+    src.add_argument(
+        "--synthetic", type=int, metavar="N", help="render N synthetic frames"
+    )
+    p.add_argument("--out", required=True, help="output TUM trajectory path")
+    p.add_argument("--frontend", choices=["orb", "sp"], default="orb")
+    p.add_argument("--weights", default=None, help="learned-frontend checkpoint")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--frame-stride", type=int, default=1,
+                   help="keyframe interval (the reference's K ablation)")
+    p.add_argument("--compose-mode", choices=["parity", "odometry"],
+                   default="parity")
+    p.add_argument("--seed", type=int, default=0)
+    if stereo:
+        p.add_argument("--map-out", default=None, help="PLY map output path")
+        p.add_argument("--voxel", type=float, default=None,
+                       help="map voxel downsample size (m)")
+
+
+def _build_frontend(args, cfg_orb, image_shape):
+    from forest_slam_tpu.frontend.base import orb_frontend, learned_frontend
+
+    if args.frontend == "orb":
+        return orb_frontend(cfg_orb), None
+    from forest_slam_tpu.frontend.learned import LearnedFrontend
+    from forest_slam_tpu.frontend.weights import load_pretrained, DEFAULT_PATH
+
+    fe = LearnedFrontend()
+    params = load_pretrained(fe, image_shape, args.weights or DEFAULT_PATH)
+    return learned_frontend(fe), params
+
+
+def _get_mono_inputs(args):
+    import numpy as np
+
+    if args.synthetic:
+        from forest_slam_tpu.io.synthetic import render_sequence
+
+        seq = render_sequence(args.synthetic, height=160, width=224, seed=args.seed)
+        return seq.images_left, seq.timestamps, seq.rig.left
+    from forest_slam_tpu.io.calib import botanic_garden_left
+    from forest_slam_tpu.io.dataset import load_mono_from_bag
+
+    cam = botanic_garden_left()
+    seq = load_mono_from_bag(
+        args.bag, cam, max_frames=args.max_frames, frame_stride=args.frame_stride
+    )
+    return seq.images, seq.timestamps, cam
+
+
+def cmd_mono(args) -> int:
+    from forest_slam_tpu.io.tum import write_tum
+    from forest_slam_tpu.pipelines.mono import MonoConfig, run_mono_vo
+
+    images, timestamps, cam = _get_mono_inputs(args)
+    cfg = MonoConfig(compose_mode=args.compose_mode)
+    frontend, fparams = _build_frontend(args, cfg.orb, images.shape[1:])
+    traj, outs = run_mono_vo(
+        images, timestamps, cam, cfg, seed=args.seed,
+        frontend=frontend, fparams=fparams,
+    )
+    write_tum(args.out, traj)
+    import numpy as np
+
+    ok = np.asarray(outs.ok)
+    print(f"mono: {len(traj)} poses -> {args.out} "
+          f"(tracked {int(ok.sum())}/{ok.size})")
+    return 0
+
+
+def cmd_stereo(args) -> int:
+    import numpy as np
+
+    from forest_slam_tpu.backend import accumulate_map
+    from forest_slam_tpu.io.ply import write_ply
+    from forest_slam_tpu.io.tum import write_tum
+    from forest_slam_tpu.pipelines.stereo import StereoConfig, run_stereo_vo
+
+    if args.synthetic:
+        from forest_slam_tpu.io.synthetic import render_sequence
+
+        seq = render_sequence(args.synthetic, height=160, width=224, seed=args.seed)
+        il, ir, ts, rig = seq.images_left, seq.images_right, seq.timestamps, seq.rig
+        from forest_slam_tpu.stereo import SgmConfig
+
+        cfg = StereoConfig(
+            sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode
+        )
+    else:
+        from forest_slam_tpu.io.calib import botanic_garden_rig
+        from forest_slam_tpu.io.dataset import load_stereo_from_bag
+
+        rig = botanic_garden_rig()
+        seq = load_stereo_from_bag(
+            args.bag, rig, max_frames=args.max_frames,
+            frame_stride=args.frame_stride,
+        )
+        il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
+        cfg = StereoConfig(compose_mode=args.compose_mode)
+
+    frontend, fparams = _build_frontend(args, cfg.orb, il.shape[1:])
+    traj, outs = run_stereo_vo(
+        il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend, fparams=fparams
+    )
+    write_tum(args.out, traj)
+    ok = np.asarray(outs.ok)
+    print(f"stereo: {len(traj)} poses -> {args.out} "
+          f"(tracked {int(ok.sum())}/{ok.size})")
+    if args.map_out:
+        cloud = accumulate_map(
+            np.asarray(outs.map_points), np.asarray(outs.map_valid), args.voxel
+        )
+        write_ply(args.map_out, cloud)
+        print(f"map: {cloud.shape[0]} points -> {args.map_out}")
+    return 0
+
+
+def cmd_gt_traj(args) -> int:
+    from forest_slam_tpu.eval.groundtruth import extract_gt_trajectory
+    from forest_slam_tpu.io.tum import write_tum
+
+    traj = extract_gt_trajectory(args.bag)
+    write_tum(args.out, traj)
+    print(f"gt-traj: {len(traj)} poses -> {args.out}")
+    return 0
+
+
+def cmd_gt_map(args) -> int:
+    from forest_slam_tpu.eval.groundtruth import extract_gt_map
+    from forest_slam_tpu.io.ply import write_ply
+
+    cloud = extract_gt_map(args.bag, scan_stride=args.scan_stride, voxel_size=args.voxel)
+    write_ply(args.out, cloud)
+    print(f"gt-map: {cloud.shape[0]} points -> {args.out}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from forest_slam_tpu.eval import ape_translation, rpe_distance_ratio
+    from forest_slam_tpu.io.tum import read_tum
+
+    est = read_tum(args.est)
+    gt = read_tum(args.gt)
+    ape = ape_translation(est, gt, with_scale=not args.no_scale)
+    out = {
+        "ape": ape._asdict(),
+    }
+    if args.rpe:
+        out["rpe"] = rpe_distance_ratio(est, gt, delta_m=args.rpe_delta)._asdict()
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_train_frontend(args) -> int:
+    import jax
+
+    from forest_slam_tpu.frontend.weights import save_params, DEFAULT_PATH
+    from forest_slam_tpu.train.trainer import TrainConfig, train
+
+    cfg = TrainConfig(
+        height=args.height, width=args.width, batch_size=args.batch,
+        learning_rate=args.lr,
+    )
+    state, history = train(cfg, args.steps, seed=args.seed, log_every=args.log_every)
+    for step, m in history:
+        print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+    save_params(state.params, args.out or DEFAULT_PATH)
+    print(f"saved weights -> {args.out or DEFAULT_PATH}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="forest-slam")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("mono", help="monocular VO")
+    _add_common(p, stereo=False)
+    p.set_defaults(fn=cmd_mono)
+
+    p = sub.add_parser("stereo", help="stereo VO + mapping")
+    _add_common(p, stereo=True)
+    p.set_defaults(fn=cmd_stereo)
+
+    p = sub.add_parser("gt-traj", help="ground-truth trajectory from a bag")
+    p.add_argument("--bag", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_gt_traj)
+
+    p = sub.add_parser("gt-map", help="ground-truth lidar map from a bag")
+    p.add_argument("--bag", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--scan-stride", type=int, default=10)
+    p.add_argument("--voxel", type=float, default=0.5)
+    p.set_defaults(fn=cmd_gt_map)
+
+    p = sub.add_parser("eval", help="APE/RPE between TUM files")
+    p.add_argument("--est", required=True)
+    p.add_argument("--gt", required=True)
+    p.add_argument("--no-scale", action="store_true", help="SE(3) alignment")
+    p.add_argument("--rpe", action="store_true")
+    p.add_argument("--rpe-delta", type=float, default=20.0)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("train-frontend", help="train SuperPoint+SuperGlue")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--height", type=int, default=120)
+    p.add_argument("--width", type=int, default=160)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_train_frontend)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""Rosbag reader/writer roundtrip tests (pure-Python path)."""
+
+import numpy as np
+import pytest
+
+from forest_slam_tpu.io.rosbag import BagReader, BagWriter
+
+
+@pytest.fixture
+def bag_path(tmp_path, rng):
+    path = str(tmp_path / "fixture.bag")
+    w = BagWriter(path)
+    for i in range(5):
+        t = 100.0 + i * 0.1
+        img = rng.integers(0, 255, size=(24, 32, 3), dtype=np.uint8)
+        w.write(
+            "/dalsa_rgb/left/image_raw",
+            "sensor_msgs/Image",
+            BagWriter.encode_image(img, t, encoding="bgr8"),
+            t,
+        )
+        w.write(
+            "/gt_poses",
+            "nav_msgs/Odometry",
+            BagWriter.encode_odometry(
+                [i * 0.5, 0.0, 1.0], [0, 0, 0, 1], t
+            ),
+            t,
+        )
+        if i % 2 == 0:
+            pts = rng.normal(size=(50, 3)).astype(np.float32)
+            pts[0] = np.nan
+            w.write(
+                "/velodyne_points",
+                "sensor_msgs/PointCloud2",
+                BagWriter.encode_pointcloud2(pts, t),
+                t,
+            )
+    w.close()
+    return path
+
+
+def test_read_all_topics(bag_path):
+    msgs = list(BagReader(bag_path).read_messages())
+    assert len(msgs) == 13  # 5 images + 5 poses + 3 clouds
+    topics = {m[0] for m in msgs}
+    assert topics == {"/dalsa_rgb/left/image_raw", "/gt_poses", "/velodyne_points"}
+
+
+def test_topic_filter_and_order(bag_path):
+    msgs = list(
+        BagReader(bag_path).read_messages(topics=["/dalsa_rgb/left/image_raw"])
+    )
+    assert len(msgs) == 5
+    times = [t for _, _, t in msgs]
+    assert times == sorted(times)
+
+
+def test_image_decode_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "img.bag")
+    img = rng.integers(0, 255, size=(16, 20, 3), dtype=np.uint8)
+    w = BagWriter(path)
+    w.write("/cam", "sensor_msgs/Image", BagWriter.encode_image(img, 5.0, "bgr8"), 5.0)
+    w.close()
+    ((topic, msg, t),) = BagReader(path).read_messages()
+    assert topic == "/cam" and abs(t - 5.0) < 1e-9
+    assert msg.encoding == "bgr8"
+    np.testing.assert_array_equal(msg.to_array(), img)
+    assert abs(msg.stamp - 5.0) < 1e-9
+
+
+def test_odometry_decode(bag_path):
+    msgs = list(BagReader(bag_path).read_messages(topics=["/gt_poses"]))
+    poses = [m for _, m, _ in msgs]
+    np.testing.assert_allclose(poses[3].position, [1.5, 0.0, 1.0])
+    np.testing.assert_allclose(poses[0].orientation, [0, 0, 0, 1])
+
+
+def test_pointcloud_decode_skips_nans(bag_path):
+    msgs = list(BagReader(bag_path).read_messages(topics=["/velodyne_points"]))
+    _, pc, _ = msgs[0]
+    xyz = pc.xyz(skip_nans=True)
+    assert xyz.shape == (49, 3)
+    assert np.isfinite(xyz).all()
+    assert pc.xyz(skip_nans=False).shape == (50, 3)
+
+
+def test_bz2_compressed_chunk(tmp_path, rng):
+    path = str(tmp_path / "c.bag")
+    img = rng.integers(0, 255, size=(8, 8), dtype=np.uint8)
+    w = BagWriter(path)
+    w.write("/cam", "sensor_msgs/Image", BagWriter.encode_image(img, 1.0), 1.0)
+    w.close(compression="bz2")
+    ((_, msg, _),) = BagReader(path).read_messages()
+    np.testing.assert_array_equal(msg.to_array(), img)
+
+
+def test_not_a_bag(tmp_path):
+    p = tmp_path / "x.bag"
+    p.write_bytes(b"garbage data")
+    with pytest.raises(ValueError, match="not a ROSBAG"):
+        list(BagReader(str(p)).read_messages())
