@@ -9,7 +9,7 @@ from forest_slam_tpu.backend.ba import BAProblem, ba_solve
 from forest_slam_tpu.core.camera import PinholeCamera, project_points
 
 
-def make_problem(rng, M=6, P=120, pix_noise=0.3, pose_pert=0.02, point_pert=0.05,
+def make_problem(rng, M=6, P=120, pix_noise=0.3, pose_pert=0.02, point_pert=0.4,
                  drop=0.1):
     K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1]])
     cam = PinholeCamera.create(K, None, 640, 480)
