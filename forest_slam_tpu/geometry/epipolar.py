@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 from forest_slam_tpu.core.lie import so3_exp
 from forest_slam_tpu.geometry.ransac import ransac_sample_indices
-from forest_slam_tpu.geometry.triangulation import triangulate_linear, depths_in_camera
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -115,19 +114,35 @@ def find_essential_ransac(
         threshold: inlier gate on sqrt(Sampson) in normalized units
             (pixel_threshold / focal).
     """
+    from forest_slam_tpu.geometry.pnp import nullspace_inverse_iteration
+
     idx = ransac_sample_indices(key, valid, n_hypotheses, 8)  # (H, 8)
 
-    def solve(sample_idx):
-        A = _epipolar_rows(x0[sample_idx], x1[sample_idx])  # (8, 9)
-        return _essential_from_nullspace(A)
-
-    Es = jax.vmap(solve)(idx)  # (H, 3, 3)
+    # Raw nullspace hypotheses (no essential-manifold projection): the
+    # Sampson distance scores any fundamental-like 3x3, so the batched
+    # 3x3 SVD projection per hypothesis is skipped; only the winner is
+    # projected below. Nullspaces via Cholesky inverse iteration — ~6x
+    # faster than batched SVD on TPU (see pnp.nullspace_inverse_iteration).
+    A = _epipolar_rows(x0[idx], x1[idx])  # (H, 8, 9)
+    Es = nullspace_inverse_iteration(A, 9).reshape(-1, 3, 3)
     errs = jax.vmap(lambda E: sampson_error(E, x0, x1))(Es)  # (H, N)
     thr2 = threshold * threshold
     inl = (errs < thr2) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
-    return EssentialResult(E=Es[best], inliers=inl[best], n_inliers=counts[best])
+
+    # The raw winner is a fundamental-like 3x3 off the essential manifold
+    # (inverse iteration's f32 floor); projecting it directly can destroy
+    # the consensus. Instead refit on the winner's inlier rows with one
+    # accurate (N, 9) SVD, then project — the consensus here is large
+    # (best-of-H raw hypotheses), so the LS refit is well-posed, unlike
+    # refitting a minimal-solve's narrow consensus (see module docstring).
+    rows = _epipolar_rows(x0, x1)  # (N, 9)
+    w = inl[best].astype(rows.dtype)[:, None]
+    E_fit = _essential_from_nullspace(rows * w)
+    err_b = sampson_error(E_fit, x0, x1)
+    inl_b = (err_b < thr2) & valid
+    return EssentialResult(E=E_fit, inliers=inl_b, n_inliers=jnp.sum(inl_b))
 
 
 class PoseResult(NamedTuple):
@@ -154,14 +169,21 @@ def recover_pose(
     t = U[:, 2]
     candidates = [(Ra, t), (Ra, -t), (Rb, t), (Rb, -t)]
 
-    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    x0h = jnp.concatenate([x0, jnp.ones_like(x0[..., :1])], axis=-1)
+    x1h = jnp.concatenate([x1, jnp.ones_like(x1[..., :1])], axis=-1)
 
     def score(Rt):
+        # closed-form two-view depths (no per-point SVD triangulation):
+        # x1h x z1 = R x0h z0 + t  =>  cross(x1h, R x0h) z0 = -cross(x1h, t)
+        # solved in least squares; only the SIGNS matter for cheirality.
         R, tt = Rt
-        P1 = jnp.concatenate([R, tt[:, None]], axis=1)
-        X = triangulate_linear(P0, P1, x0, x1)
-        z0 = depths_in_camera(P0, X)
-        z1 = depths_in_camera(P1, X)
+        Rx0 = jnp.einsum("ij,nj->ni", R, x0h, precision=_HI)
+        c1 = jnp.cross(x1h, Rx0)
+        c2 = jnp.cross(x1h, jnp.broadcast_to(tt, x1h.shape))
+        z0 = -jnp.einsum("ni,ni->n", c1, c2, precision=_HI) / jnp.maximum(
+            jnp.einsum("ni,ni->n", c1, c1, precision=_HI), 1e-12
+        )
+        z1 = Rx0[:, 2] * z0 + tt[2]
         ok = (z0 > 0) & (z1 > 0) & mask
         return jnp.sum(ok)
 
