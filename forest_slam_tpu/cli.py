@@ -36,10 +36,38 @@ def _add_common(p, stereo: bool):
     p.add_argument("--compose-mode", choices=["parity", "odometry"],
                    default="parity")
     p.add_argument("--seed", type=int, default=0)
+    # motion-blur corruption knobs (reference stereo_slam.py:152-174; off
+    # by default, matching the reference's blur_percentage=0 call sites)
+    p.add_argument("--blur-percentage", type=float, default=0.0)
+    p.add_argument("--blur-kernel", type=int, default=15)
+    p.add_argument("--blur-angle", type=float, default=0.0)
     if stereo:
         p.add_argument("--map-out", default=None, help="PLY map output path")
         p.add_argument("--voxel", type=float, default=None,
                        help="map voxel downsample size (m)")
+
+
+def _apply_blur(args, *stacks):
+    """Corrupt image stacks with random motion blur when requested."""
+    if args.blur_percentage <= 0:
+        return stacks
+    import jax
+    import jax.numpy as jnp
+
+    from forest_slam_tpu.utils.corrupt import BlurConfig, corrupt_stack
+
+    cfg = BlurConfig(
+        blur_percentage=args.blur_percentage,
+        kernel_size=args.blur_kernel,
+        angle_deg=args.blur_angle,
+    )
+    key = jax.random.PRNGKey(args.seed + 777)
+    out = []
+    for i, s in enumerate(stacks):
+        out.append(
+            corrupt_stack(jnp.asarray(s, jnp.float32), jax.random.fold_in(key, i), cfg)
+        )
+    return tuple(out)
 
 
 def _build_frontend(args, cfg_orb, image_shape):
@@ -78,6 +106,7 @@ def cmd_mono(args) -> int:
     from forest_slam_tpu.pipelines.mono import MonoConfig, run_mono_vo
 
     images, timestamps, cam = _get_mono_inputs(args)
+    (images,) = _apply_blur(args, images)
     cfg = MonoConfig(compose_mode=args.compose_mode)
     frontend, fparams = _build_frontend(args, cfg.orb, images.shape[1:])
     traj, outs = run_mono_vo(
@@ -123,6 +152,7 @@ def cmd_stereo(args) -> int:
         il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
         cfg = StereoConfig(compose_mode=args.compose_mode)
 
+    il, ir = _apply_blur(args, il, ir)
     frontend, fparams = _build_frontend(args, cfg.orb, il.shape[1:])
     traj, outs = run_stereo_vo(
         il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend, fparams=fparams

@@ -203,12 +203,17 @@ def solve_pnp_ransac(
     n_hypotheses: int = 1024,
     min_inliers: int = 6,
     refine_iters: int = 8,
+    n_starts: int = 3,
 ) -> PnPResult:
     """Robust PnP. ``pts2d`` are pixel observations; ``pts3d`` object points.
 
     Matches the reference call site semantics (reprojectionError=1.0,
     iterationsCount=1000 -> static 1024 hypothesis batch, ITERATIVE ->
-    Gauss-Newton polish on the inlier set).
+    Gauss-Newton polish on the inlier set), with one extra robustness layer:
+    the ``n_starts`` best-scoring hypotheses are each GN-refined and the one
+    with the largest final consensus (ties broken by lower mean inlier
+    residual) wins — a single annealed refine can settle into a local
+    optimum when the top hypothesis carries a biased minimal sample.
     """
     xn = undistort_points(pts2d, cam)  # normalized coords for the DLT
     idx = ransac_sample_indices(key, valid, n_hypotheses, 6)
@@ -219,22 +224,33 @@ def solve_pnp_ransac(
     errs = jax.vmap(lambda P: _reproject_error(P, pts3d, pts2d, cam))(Ps)
     inl = (errs < reproj_threshold) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
-    best = jnp.argmax(counts)
-    P_best = orthogonalize_pose(Ps[best], pts3d, inl[best])
-    inliers = inl[best]
 
-    T0 = se3_matrix(P_best[:, :3], P_best[:, 3])
-    T = _gauss_newton_refine(
-        T0, pts3d, pts2d, valid, cam, reproj_threshold, iters=refine_iters
+    k = min(max(n_starts, 1), n_hypotheses)
+    _, top_idx = jax.lax.top_k(counts, k)
+    P_tops = jax.vmap(
+        lambda i: orthogonalize_pose(Ps[i], pts3d, inl[i])
+    )(top_idx)
+    T0s = jax.vmap(lambda P: se3_matrix(P[:, :3], P[:, 3]))(P_tops)
+    Ts = jax.vmap(
+        lambda T0: _gauss_newton_refine(
+            T0, pts3d, pts2d, valid, cam, reproj_threshold, iters=refine_iters
+        )
+    )(T0s)
+
+    # candidates: the k refined poses + the best unrefined one (fallback if
+    # refinement diverges); score = inliers, ties -> lower mean residual
+    P_cands = jnp.concatenate([Ts[:, :3, :], P_tops[:1]], axis=0)
+    err_c = jax.vmap(lambda P: _reproject_error(P, pts3d, pts2d, cam))(P_cands)
+    inl_c = (err_c < reproj_threshold) & valid[None, :]
+    cnt_c = jnp.sum(inl_c, axis=1)
+    mean_err = jnp.sum(err_c * inl_c, axis=1) / jnp.maximum(cnt_c, 1)
+    score = cnt_c.astype(jnp.float32) + jnp.clip(
+        1.0 - mean_err / reproj_threshold, 0.0, 1.0
     )
-    # re-evaluate inliers after refinement (OpenCV reports post-refine set)
-    P_ref = T[:3, :]
-    err_ref = _reproject_error(P_ref, pts3d, pts2d, cam)
-    inl_ref = (err_ref < reproj_threshold) & valid
-    better = jnp.sum(inl_ref) >= jnp.sum(inliers)
-    P_fin = jnp.where(better, P_ref, P_best)
-    inl_fin = jnp.where(better, inl_ref, inliers)
-    n = jnp.sum(inl_fin)
+    b = jnp.argmax(score)
+    P_fin = P_cands[b]
+    inl_fin = inl_c[b]
+    n = cnt_c[b]
     return PnPResult(
         R=P_fin[:, :3],
         t=P_fin[:, 3],

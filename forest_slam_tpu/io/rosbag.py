@@ -15,10 +15,6 @@ parser of the on-disk format (http://wiki.ros.org/Bags/Format/2.0):
 
 A matching minimal writer exists so tests can synthesize valid bags
 (the BotanicGarden bags are not distributed with the reference repo).
-
-This is the pure-Python path; ``forest_slam_tpu/native`` provides a C++
-accelerated loader with the same iterator contract for the hot benchmark
-path.
 """
 
 from __future__ import annotations

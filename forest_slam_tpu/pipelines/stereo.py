@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from forest_slam_tpu.core.camera import StereoRig
-from forest_slam_tpu.core.lie import se3_matrix, se3_inverse
+from forest_slam_tpu.core.lie import se3_matrix, se3_inverse, se3_chain
 from forest_slam_tpu.frontend import OrbConfig
 from forest_slam_tpu.frontend.base import FrontendFns, orb_frontend
 from forest_slam_tpu.geometry import solve_pnp_ransac
@@ -60,6 +60,11 @@ class StereoConfig(NamedTuple):
     n_hypotheses: int = 1024  # iterationsCount=1000 -> static batch
     max_match_distance: int = 64
     min_points: int = 6  # stereo_slam.py:292
+    # A pose update additionally requires inliers >= min_inlier_ratio of the
+    # PnP input set: the reference's bare ">= 6 points" gate (quirk B5) lets
+    # a garbage front-end (e.g. untrained weights) report success because
+    # RANSAC over ~1e3 random correspondences still scrapes 6 "inliers".
+    min_inlier_ratio: float = 0.15
     refine_iters: int = 8
     compose_mode: str = "parity"
     min_depth: float = 0.1
@@ -107,6 +112,71 @@ def _backproject_prev(state: StereoState, rig: StereoRig, cfg: StereoConfig):
     return pts, ok
 
 
+class PairVO(NamedTuple):
+    """Result of frame-to-frame VO on one stereo pair (no chaining)."""
+
+    rel: jax.Array  # (4, 4) gated relative transform (identity if !ok)
+    ok: jax.Array  # () bool
+    n_matches: jax.Array  # () int32
+    n_inliers: jax.Array  # () int32
+    pts3d: jax.Array  # (K, 3) prev-frame camera-frame points
+    valid: jax.Array  # (K,) PnP input validity (match & depth gates)
+
+
+def _match_and_pnp(
+    prev_feats,
+    pts3d: jax.Array,
+    depth_ok: jax.Array,
+    cur_feats,
+    key: jax.Array,
+    rig: StereoRig,
+    cfg: StereoConfig,
+    frontend: FrontendFns,
+    fparams,
+    image_shape,
+) -> PairVO:
+    """Shared pair core: temporal match -> PnP-RANSAC -> gated relative pose.
+
+    Mirrors the reference's per-pair body (stereo_slam.py:210-306) minus the
+    chaining; used by both the sequential scan and the batched runner.
+    """
+    matches = frontend.match(fparams, prev_feats, cur_feats, image_shape)
+    mask = matches >= 0
+    idx = jnp.where(mask, matches, 0)
+    valid = mask & depth_ok & prev_feats.valid
+    obs = cur_feats.xy[idx]  # current-frame pixel observations
+
+    pnp = solve_pnp_ransac(
+        pts3d,
+        obs,
+        valid,
+        rig.left,
+        key,
+        reproj_threshold=cfg.reproj_threshold_px,
+        n_hypotheses=cfg.n_hypotheses,
+        min_inliers=cfg.min_points,
+        refine_iters=cfg.refine_iters,
+    )
+    n_valid = jnp.sum(valid)
+    ok = (
+        pnp.ok
+        & (n_valid >= cfg.min_points)
+        & (pnp.n_inliers >= cfg.min_inlier_ratio * jnp.maximum(n_valid, 1))
+    )
+    rel = se3_matrix(pnp.R, pnp.t)
+    if cfg.compose_mode == "odometry":
+        rel = se3_inverse(rel)
+    rel = jnp.where(ok, rel, jnp.eye(4))
+    return PairVO(
+        rel=rel,
+        ok=ok,
+        n_matches=jnp.sum(mask),
+        n_inliers=pnp.n_inliers,
+        pts3d=pts3d,
+        valid=valid,
+    )
+
+
 def stereo_step(
     state: StereoState,
     img_l: jax.Array,
@@ -119,34 +189,17 @@ def stereo_step(
     feats = frontend.extract(fparams, img_l)
     depth_rec, depth_rec_ok = _depth_state(feats, img_l, img_r, rig, cfg)
 
-    matches = frontend.match(fparams, state.prev, feats, img_l.shape)
-    mask = matches >= 0
-    idx = jnp.where(mask, matches, 0)
-
     # back-project matched *previous* keypoints through the previous
     # frame's stereo depth (stereo_slam.py:274-288)
     pts3d, depth_ok = _backproject_prev(state, rig, cfg)
-    valid = mask & depth_ok & state.prev.valid
-    obs = feats.xy[idx]  # current-frame pixel observations
-
     key, sub = jax.random.split(state.key)
-    pnp = solve_pnp_ransac(
-        pts3d,
-        obs,
-        valid,
-        rig.left,
-        sub,
-        reproj_threshold=cfg.reproj_threshold_px,
-        n_hypotheses=cfg.n_hypotheses,
-        min_inliers=cfg.min_points,
-        refine_iters=cfg.refine_iters,
+    pair = _match_and_pnp(
+        state.prev, pts3d, depth_ok, feats, sub, rig, cfg, frontend,
+        fparams, img_l.shape,
     )
-    ok = pnp.ok & (jnp.sum(valid) >= cfg.min_points)
-    rel = se3_matrix(pnp.R, pnp.t)
-    if cfg.compose_mode == "odometry":
-        rel = se3_inverse(rel)
-    rel = jnp.where(ok, rel, jnp.eye(4))
-    cumulative = state.cumulative @ rel
+    ok = pair.ok
+    valid = pair.valid
+    cumulative = state.cumulative @ pair.rel
 
     # world-frame map points (stereo_slam.py:309-314): transform the
     # previous-frame 3D points by the updated cumulative pose
@@ -166,8 +219,8 @@ def stereo_step(
         pose=cumulative,
         map_points=world,
         map_valid=map_valid,
-        n_matches=jnp.sum(mask),
-        n_inliers=pnp.n_inliers,
+        n_matches=pair.n_matches,
+        n_inliers=pair.n_inliers,
         ok=ok,
     )
 
@@ -234,6 +287,172 @@ def run_stereo_vo_scan(
     return outs
 
 
+# --------------------------------------------------------------------------
+# Batched (frame-parallel) runner — the throughput path
+# --------------------------------------------------------------------------
+#
+# The scan runner above serializes per-frame work that is frame-independent:
+# feature extraction, stereo depth, matching, and PnP for pair (i, i+1) do
+# not depend on pair (i-1, i) — only the final pose chaining does. The
+# batched runner restructures the sequence into three phases so the MXU sees
+# large batched ops instead of one frame at a time:
+#
+#   1. per-frame:  vmap(extract + per-keypoint stereo depth) over frame
+#      chunks (images enter HBM one chunk at a time);
+#   2. per-pair:   vmap(match + PnP-RANSAC) over pair chunks (only the
+#      compact feature slabs are resident, never the images);
+#   3. chaining:   log-depth associative scan over the gated relative poses
+#      (core/lie.py se3_chain) + one batched world transform of map points.
+
+
+class _FrameSlab(NamedTuple):
+    feats: Any  # front-end features, leading axis = frames
+    z: jax.Array  # (N, K) per-keypoint depth
+    z_ok: jax.Array  # (N, K) validity
+
+
+def _frame_features(img_l, img_r, rig: StereoRig, cfg: StereoConfig,
+                    frontend: FrontendFns, fparams):
+    """Extract features + per-keypoint depth for one frame (batched phase 1).
+
+    The dense-parity path computes the full SGM map and immediately gathers
+    it at the keypoints (stereo_slam.py:262,278 semantics) so the batched
+    state is per-keypoint regardless of cfg.dense_depth.
+    """
+    from forest_slam_tpu.stereo.depth import depth_at_keypoints
+
+    feats = frontend.extract(fparams, img_l)
+    if cfg.dense_depth:
+        disp = sgm_disparity(img_l, img_r, cfg.sgm)
+        depth = disparity_to_depth(disp, rig.left.fx, rig.baseline)
+        z = depth_at_keypoints(depth, feats.xy)
+        z_ok = jnp.ones(z.shape, bool)
+    else:
+        z, z_ok = sparse_depth_at_keypoints(
+            img_l, img_r, feats.xy, rig.left.fx, rig.baseline, cfg.sparse
+        )
+    return feats, z, z_ok
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _extract_chunk(images_l, images_r, rig, cfg, frontend, fparams):
+    return jax.vmap(
+        lambda l, r: _frame_features(l, r, rig, cfg, frontend, fparams)
+    )(images_l, images_r)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 7))
+def _pair_chunk(prev_slab, cur_feats, keys, rig, cfg, frontend, fparams,
+                image_shape) -> PairVO:
+    def one(pf, pz, pok, cf, key):
+        pts3d = backproject_depth(pf.xy, pz, rig.left)
+        depth_ok = pok & (pz > cfg.min_depth) & (pz < cfg.max_depth)
+        return _match_and_pnp(
+            pf, pts3d, depth_ok, cf, key, rig, cfg, frontend, fparams,
+            image_shape,
+        )
+
+    return jax.vmap(one)(
+        prev_slab.feats, prev_slab.z, prev_slab.z_ok, cur_feats, keys
+    )
+
+
+def _tree_slice_pad(tree, start: int, size: int):
+    """tree[start:start+size] along axis 0, padded by edge-repeat to size."""
+
+    def take(a):
+        n = a.shape[0]
+        idx = jnp.minimum(jnp.arange(start, start + size), n - 1)
+        return a[idx]
+
+    return jax.tree.map(take, tree)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _chain_and_map(pairs: PairVO, initial: jax.Array, n_pairs: int):
+    """Phase 3: pose chaining + world-frame map points, one fused jit."""
+    rel = pairs.rel[:n_pairs]
+    cums = se3_chain(rel, initial=initial)
+    world = (
+        jnp.einsum(
+            "nij,nkj->nki", cums[:, :3, :3], pairs.pts3d[:n_pairs],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + cums[:, None, :3, 3]
+    )
+    ok = pairs.ok[:n_pairs]
+    return StereoStepOut(
+        pose=cums,
+        map_points=world,
+        map_valid=pairs.valid[:n_pairs] & ok[:, None],
+        n_matches=pairs.n_matches[:n_pairs],
+        n_inliers=pairs.n_inliers[:n_pairs],
+        ok=ok,
+    )
+
+
+def run_stereo_vo_batched(
+    images_l: jax.Array,
+    images_r: jax.Array,
+    rig: StereoRig,
+    cfg: StereoConfig,
+    key: jax.Array,
+    frontend: FrontendFns,
+    fparams,
+    frame_chunk: int = 32,
+    pair_chunk: int = 64,
+    frame_indices=None,
+) -> StereoStepOut:
+    """Frame-parallel stereo VO over (N, H, W) stacks; same outputs as
+    :func:`run_stereo_vo_scan` (frames 1..N-1).
+
+    Results match the scan runner's semantics exactly except for the RANSAC
+    key schedule (keys are split per pair up front instead of threaded
+    through the scan state).
+
+    ``frame_indices`` (optional, (M,) int): process the virtual sequence
+    ``images[frame_indices]`` without materializing it — each frame chunk is
+    gathered on device just before extraction. Every virtual frame still
+    goes through the full extract/depth/match/PnP work; only HBM residency
+    of the images is reduced (used by bench.py to cycle a rendered clip).
+    """
+    if frame_indices is not None:
+        frame_indices = jnp.asarray(frame_indices, jnp.int32)
+        n = int(frame_indices.shape[0])
+    else:
+        n = int(images_l.shape[0])
+    n_pairs = n - 1
+
+    slabs = []
+    for s in range(0, n, frame_chunk):
+        if frame_indices is not None:
+            idx = _tree_slice_pad(frame_indices, s, frame_chunk)
+            sl, sr = images_l[idx], images_r[idx]
+        else:
+            sl = _tree_slice_pad(images_l, s, frame_chunk)
+            sr = _tree_slice_pad(images_r, s, frame_chunk)
+        feats, z, z_ok = _extract_chunk(sl, sr, rig, cfg, frontend, fparams)
+        slabs.append(_FrameSlab(feats, z, z_ok))
+    slab = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n], *slabs)
+
+    keys = jax.random.split(key, n_pairs)
+    prev_all = jax.tree.map(lambda a: a[: n - 1], slab)
+    cur_feats_all = jax.tree.map(lambda a: a[1:], slab.feats)
+    image_shape = tuple(images_l.shape[1:])
+
+    pair_outs = []
+    for s in range(0, n_pairs, pair_chunk):
+        prev = _tree_slice_pad(prev_all, s, pair_chunk)
+        cur = _tree_slice_pad(cur_feats_all, s, pair_chunk)
+        k = _tree_slice_pad(keys, s, pair_chunk)
+        pair_outs.append(
+            _pair_chunk(prev, cur, k, rig, cfg, frontend, fparams, image_shape)
+        )
+    pairs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pair_outs)
+
+    return _chain_and_map(pairs, jnp.eye(4), n_pairs)
+
+
 def run_stereo_vo(
     images_l,
     images_r,
@@ -243,15 +462,18 @@ def run_stereo_vo(
     seed: int = 0,
     frontend: FrontendFns | None = None,
     fparams=None,
+    mode: str = "batched",
 ) -> tuple[Trajectory, StereoStepOut]:
     """Host entry point: trajectory (frames 1..N-1) + per-frame outputs.
     Default front-end is ORB; pass ``frontend=learned_frontend(fe),
-    fparams=weights`` for SP+SG."""
+    fparams=weights`` for SP+SG. ``mode``: "batched" (frame-parallel,
+    fast) or "scan" (sequential, streaming)."""
     if frontend is None:
         frontend = orb_frontend(cfg.orb, cfg.max_match_distance)
     images_l = jnp.asarray(images_l, jnp.float32)
     images_r = jnp.asarray(images_r, jnp.float32)
-    outs = run_stereo_vo_scan(
+    runner = run_stereo_vo_batched if mode == "batched" else run_stereo_vo_scan
+    outs = runner(
         images_l, images_r, rig, cfg, jax.random.PRNGKey(seed), frontend, fparams
     )
     poses = np.asarray(outs.pose, np.float64)

@@ -1,0 +1,102 @@
+"""Synthetic motion-blur corruption — the robustness-experiment knob.
+
+TPU-native equivalent of the reference's input-degradation machinery
+(``apply_motion_blur`` / ``apply_random_motion_blur``,
+stereo_slam.py:137-174): a rotated line kernel blurs the whole image, and a
+random pixel mask (dilated to kernel-size boxes) selects which regions keep
+the blurred values. The reference runs it inside the ingestion loop with
+``blur_percentage=0`` by default (quirk B9 — machinery present, off);
+here it is a jittable preprocessing op applied to image stacks before the
+pipelines (layer L2 in SURVEY.md §1).
+
+Design notes vs the reference:
+- the line kernel is synthesized directly at angle theta with a tent
+  (bilinear) cross-profile — the same shape ``cv2.warpAffine`` of a
+  diagonal produces — and normalized to unit sum;
+- the random region mask draws i.i.d. Bernoulli pixels at the requested
+  density and dilates them with a max-pool, statistically equivalent to the
+  reference's sample-without-replacement + box stamping;
+- everything is fixed-shape and key-driven so it jits and vmaps over frame
+  stacks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from forest_slam_tpu.utils.filters import _conv2d_single
+
+
+class BlurConfig(NamedTuple):
+    """Knobs of stereo_slam.py:152 (blur_percentage, kernel_size, angle)."""
+
+    blur_percentage: float = 0.0  # % of pixels seeding blurred regions
+    kernel_size: int = 15
+    angle_deg: float = 0.0
+
+
+def motion_blur_kernel(kernel_size: int, angle_deg) -> jax.Array:
+    """(k, k) unit-sum line kernel at ``angle_deg`` (0 deg = horizontal)."""
+    k = kernel_size
+    theta = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    d = jnp.stack([jnp.cos(theta), jnp.sin(theta)])  # line direction
+    c = (k - 1) / 2.0
+    ys, xs = jnp.meshgrid(jnp.arange(k) - c, jnp.arange(k) - c, indexing="ij")
+    along = xs * d[0] + ys * d[1]
+    perp = -xs * d[1] + ys * d[0]
+    w = jnp.clip(1.0 - jnp.abs(perp), 0.0, 1.0) * (jnp.abs(along) <= c + 0.5)
+    return w / jnp.maximum(jnp.sum(w), 1e-6)
+
+
+def apply_motion_blur(
+    image: jax.Array, kernel_size: int = 15, angle_deg=0.0
+) -> jax.Array:
+    """Blur the full (H, W) image with the rotated line kernel
+    (stereo_slam.py:137-149)."""
+    return _conv2d_single(image, motion_blur_kernel(kernel_size, angle_deg))
+
+
+def apply_random_motion_blur(
+    image: jax.Array, key: jax.Array, cfg: BlurConfig = BlurConfig()
+) -> jax.Array:
+    """Blur random kernel-size regions covering ~``blur_percentage`` seeds
+    (stereo_slam.py:152-174). ``blur_percentage=0`` returns the image
+    unchanged (the reference's default configuration, quirk B9)."""
+    if cfg.blur_percentage <= 0.0:
+        return image
+    blurred = apply_motion_blur(image, cfg.kernel_size, cfg.angle_deg)
+    p = cfg.blur_percentage / 100.0
+    seeds = jax.random.bernoulli(key, p, image.shape)
+    k = cfg.kernel_size
+    # dilate seeds to (k, k) boxes: max-pool with SAME padding
+    mask = lax.reduce_window(
+        seeds.astype(jnp.float32),
+        0.0,
+        lax.max,
+        window_dimensions=(k, k),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    return jnp.where(mask > 0, blurred, image)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _corrupt_stack(images: jax.Array, keys: jax.Array, cfg: BlurConfig):
+    return jax.vmap(lambda im, k: apply_random_motion_blur(im, k, cfg))(
+        images, keys
+    )
+
+
+def corrupt_stack(
+    images: jax.Array, key: jax.Array, cfg: BlurConfig = BlurConfig()
+) -> jax.Array:
+    """Apply random motion blur per frame of an (N, H, W) stack."""
+    if cfg.blur_percentage <= 0.0:
+        return images
+    keys = jax.random.split(key, images.shape[0])
+    return _corrupt_stack(images, keys, cfg)
