@@ -142,8 +142,13 @@ def main() -> None:
     frame_idx = np.tile(period, reps)[:n_frames].astype(np.int32)
 
     # ---- build pipeline --------------------------------------------------
+    # ORB runs 512 slots (the reference's cv2.ORB_create() default is 500
+    # keypoints, SURVEY.md §2.2); SuperPoint runs max_keypoints=n_kpts
+    # (the reference's 1024, stereo_slam.py:72-77).
     cfg = StereoConfig(
-        orb=OrbConfig(n_features=n_kpts, n_levels=4 if args.quick else 8),
+        orb=OrbConfig(
+            n_features=min(512, n_kpts), n_levels=4 if args.quick else 8
+        ),
         sgm=SgmConfig(num_disparities=n_disp),
         n_hypotheses=512 if args.quick else 1024,
         compose_mode="odometry",

@@ -19,8 +19,8 @@ Layer map (mirrors SURVEY.md §7):
     frontend/  ORB + Hamming matching; SuperPoint + attention matcher
     geometry/  robust estimators (E-matrix, PnP) and triangulation
     stereo/    disparity (SGM) and depth back-projection
-    backend/   sliding-window BA, point-cloud mapping
-    pipelines/ mono / stereo entry points
+    backend/   sliding-window BA, pose graph, loop closure, mapping
+    pipelines/ mono / stereo / full SLAM / sharded multi-sequence eval
     parallel/  mesh + sharding utilities
     train/     training for the learned front-end
 """

@@ -1,3 +1,18 @@
 from forest_slam_tpu.backend.mapping import voxel_downsample, accumulate_map
+from forest_slam_tpu.backend.ba import BAProblem, BAResult, ba_solve
+from forest_slam_tpu.backend.window import (
+    StereoArtifacts,
+    WindowBAConfig,
+    refine_trajectory_ba,
+)
 
-__all__ = ["voxel_downsample", "accumulate_map"]
+__all__ = [
+    "voxel_downsample",
+    "accumulate_map",
+    "BAProblem",
+    "BAResult",
+    "ba_solve",
+    "StereoArtifacts",
+    "WindowBAConfig",
+    "refine_trajectory_ba",
+]

@@ -37,6 +37,16 @@ class BAProblem(NamedTuple):
     observations: jax.Array  # (M, P, 2) pixels
     mask: jax.Array  # (M, P) bool
     cam: PinholeCamera
+    # Optional stereo depth measurements: without them a window with only
+    # its first pose gauge-fixed has a residual *scale* freedom (all
+    # landmarks and translations can shrink about camera 0 without changing
+    # any pixel residual), so pixel-only window BA can silently rescale a
+    # stereo trajectory. A per-observation depth residual
+    # ``depth_weight * (z_pred - z_meas) / z_meas`` anchors metric scale in
+    # every frame. ``depths=None`` gives classical pixel-only BA.
+    depths: jax.Array | None = None  # (M, P) measured z or None
+    depth_mask: jax.Array | None = None  # (M, P) bool
+    depth_weight: float = 25.0  # relative-depth -> pixel-equivalent scale
 
 
 class BAResult(NamedTuple):
@@ -46,22 +56,27 @@ class BAResult(NamedTuple):
     final_cost: jax.Array
 
 
-def _residual_one(xi, dX, T, X, obs, cam):
-    """Observation residual for pose update xi (6,) and point update dX (3,)."""
+def _residual_one(xi, dX, T, X, obs, z_meas, has_z, w_z, cam):
+    """(3,) residual [du, dv, w_z*(z - z_meas)/z_meas] for pose update xi
+    (6,) and point update dX (3,); the depth row is zeroed when has_z=0."""
     Tp = se3_exp(xi) @ T
     Xp = X + dX
     pc = Tp[:3, :3] @ Xp + Tp[:3, 3]
-    return project_points(pc, cam, with_distortion=True) - obs  # (2,)
+    r_px = project_points(pc, cam, with_distortion=True) - obs  # (2,)
+    r_z = w_z * (pc[2] - z_meas) / jnp.maximum(z_meas, 1e-6) * has_z
+    return jnp.concatenate([r_px, r_z[None]])
 
 
-def _cost(poses, points, obs, mask, cam) -> jax.Array:
+def _cost(poses, points, obs, mask, z, z_mask, w_z, cam) -> jax.Array:
     pc = (
         jnp.einsum("mij,pj->mpi", poses[:, :3, :3], points, precision=_HI)
         + poses[:, None, :3, 3]
     )
     proj = project_points(pc, cam, with_distortion=True)
     r = proj - obs
-    return jnp.sum(jnp.where(mask[..., None], r * r, 0.0))
+    c = jnp.sum(jnp.where(mask[..., None], r * r, 0.0))
+    rz = w_z * (pc[..., 2] - z) / jnp.maximum(z, 1e-6)
+    return c + jnp.sum(jnp.where(z_mask, rz * rz, 0.0))
 
 
 def _gauge_weights(M: int, fix_first: bool, dtype) -> jax.Array:
@@ -79,8 +94,20 @@ def ba_solve(
     fix_first: bool = True,
 ) -> BAResult:
     """Run LM. Returns refined poses/points and the masked SSE before/after."""
-    poses0, points0, obs, mask, cam = problem
+    poses0 = problem.poses
+    points0 = problem.points
+    obs = problem.observations
+    mask = problem.mask
+    cam = problem.cam
     M, P = mask.shape
+    if problem.depths is None:
+        z = jnp.ones((M, P), poses0.dtype)
+        z_mask = jnp.zeros((M, P), bool)
+    else:
+        z = jnp.maximum(problem.depths, 1e-6)
+        z_mask = problem.depth_mask & mask
+    w_z = problem.depth_weight
+    zf = z_mask.astype(poses0.dtype)
     maskf = mask.astype(poses0.dtype)
     gauge = _gauge_weights(M, fix_first, poses0.dtype)
 
@@ -90,18 +117,20 @@ def ba_solve(
     def blocks(poses, points):
         """Per-observation residuals and Jacobian blocks.
 
-        Returns r (M,P,2), Jp (M,P,2,6), Jx (M,P,2,3).
+        Returns r (M,P,3), Jp (M,P,3,6), Jx (M,P,3,3).
         """
 
-        def per_obs(T, X, ob):
-            f = lambda xi, dX: _residual_one(xi, dX, T, X, ob, cam)
+        def per_obs(T, X, ob, zm, hz):
+            f = lambda xi, dX: _residual_one(xi, dX, T, X, ob, zm, hz, w_z, cam)
             r = f(zeros6, zeros3)
             Jp = jax.jacfwd(f, argnums=0)(zeros6, zeros3)
             Jx = jax.jacfwd(f, argnums=1)(zeros6, zeros3)
             return r, Jp, Jx
 
-        per_pose = jax.vmap(per_obs, in_axes=(None, 0, 0))  # over P
-        return jax.vmap(per_pose, in_axes=(0, None, 0))(poses, points, obs)
+        per_pose = jax.vmap(per_obs, in_axes=(None, 0, 0, 0, 0))  # over P
+        return jax.vmap(per_pose, in_axes=(0, None, 0, 0, 0))(
+            poses, points, obs, z, zf
+        )
 
     def lm_step(state, _):
         poses, points, lam, cost = state
@@ -144,7 +173,7 @@ def ba_solve(
 
         poses_new = jax.vmap(lambda x, T: se3_exp(x) @ T)(dxi, poses)
         points_new = points + dX
-        cost_new = _cost(poses_new, points_new, obs, mask, cam)
+        cost_new = _cost(poses_new, points_new, obs, mask, z, z_mask, w_z, cam)
         finite = jnp.isfinite(cost_new)
         accept = (cost_new < cost) & finite
         return (
@@ -154,7 +183,7 @@ def ba_solve(
             jnp.where(accept, cost_new, cost),
         ), cost
 
-    cost0 = _cost(poses0, points0, obs, mask, cam)
+    cost0 = _cost(poses0, points0, obs, mask, z, z_mask, w_z, cam)
     init = (poses0, points0, jnp.asarray(init_lambda, poses0.dtype), cost0)
     (poses, points, _, cost), _ = jax.lax.scan(lm_step, init, None, length=iters)
     return BAResult(

@@ -1,0 +1,247 @@
+"""Sliding-window BA refinement of a VO trajectory (BASELINE config 4).
+
+The reference is pure frame-to-frame odometry (SURVEY.md §0 — no BA); this
+module implements the build plan's extension: split the sequence into
+keyframe windows, build feature tracks by composing the pipeline's
+frame-to-frame matches, and jointly refine the window's poses + landmarks
+with the LM/Schur solver (backend/ba.py), stitching windows by re-anchoring
+each one at the previous window's corrected boundary pose.
+
+TPU-first structure: every window has the same static shape (W windows x M
+frames x K landmark slots with validity masks); all windows' track tables
+are composed with one vmapped index-chase; the sequential part — windows
+must run in order because each is re-anchored on the previous result — is a
+``lax.scan`` whose body is one fixed-shape BA solve.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from forest_slam_tpu.backend.ba import BAProblem, ba_solve
+from forest_slam_tpu.core.camera import PinholeCamera, backproject_depth, project_points
+from forest_slam_tpu.core.lie import se3_inverse
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class StereoArtifacts(NamedTuple):
+    """Per-frame/per-pair intermediates the batched VO runner can hand to
+    the BA / loop-closure backends (all fixed-shape, K = keypoint slots)."""
+
+    xy: jax.Array  # (N, K, 2) level-0 keypoint coords
+    valid: jax.Array  # (N, K) keypoint validity
+    z: jax.Array  # (N, K) per-keypoint stereo depth
+    z_ok: jax.Array  # (N, K) depth validity
+    matches: jax.Array  # (N-1, K) int32: frame i kpt -> frame i+1 kpt or -1
+    feats: Any = None  # full per-frame feature pytree (front-end specific)
+
+
+class WindowBAConfig(NamedTuple):
+    window: int = 5  # keyframes per window (incl. shared anchor)
+    iters: int = 8  # LM iterations per window
+    gate_px: float = 4.0  # drop track observations with initial reproj error above
+    gate_depth_rel: float = 0.25  # drop depth measurements off by more than this
+    min_obs: int = 2  # landmark must be seen in >= this many frames
+    depth_weight: float = 25.0  # see BAProblem.depth_weight
+    min_depth: float = 0.1
+    max_depth: float = 1000.0
+
+
+def _compose_tracks(xy_w, valid_w, matches_w, z_w, z_ok_w, cfg: WindowBAConfig):
+    """Track table for one window.
+
+    Inputs are window-local: xy_w (M, K, 2), valid_w (M, K), matches_w
+    (M-1, K), per-frame keypoint depths z_w (M, K) + z_ok_w (M, K).
+    Landmark k = anchor keypoint k. Returns (obs (M, K, 2), mask (M, K),
+    z_obs (M, K), z_mask (M, K)) — observation of landmark k in window
+    frame j following match composition; dead tracks are masked.
+    """
+    M, K = valid_w.shape
+    in_range = lambda z: (z > cfg.min_depth) & (z < cfg.max_depth)
+
+    def step(carry, inp):
+        idx, alive = carry
+        m_row, xy_row, val_row, z_row, zok_row = inp
+        nxt = m_row[idx]
+        alive = alive & (nxt >= 0)
+        idx = jnp.where(alive, nxt, 0)
+        alive = alive & val_row[idx]
+        zk = z_row[idx]
+        return (idx, alive), (xy_row[idx], alive, zk, alive & zok_row[idx] & in_range(zk))
+
+    idx0 = jnp.arange(K)
+    z0, z0_ok = z_w[0], z_ok_w[0]
+    alive0 = valid_w[0] & z0_ok & in_range(z0)
+    (_, _), (obs_rest, mask_rest, z_rest, zm_rest) = jax.lax.scan(
+        step,
+        (idx0, alive0),
+        (matches_w, xy_w[1:], valid_w[1:], z_w[1:], z_ok_w[1:]),
+    )
+    obs = jnp.concatenate([xy_w[:1], obs_rest], axis=0)  # (M, K, 2)
+    mask = jnp.concatenate([alive0[None], mask_rest], axis=0)
+    z_obs = jnp.concatenate([z0[None], z_rest], axis=0)
+    z_mask = jnp.concatenate([alive0[None], zm_rest], axis=0)
+    # a track observed in frames 0..j stays masked after its first death
+    # (scan's `alive` is monotone), so mask rows are prefix-shaped already
+    return obs, mask, z_obs, z_mask
+
+
+def _compose_tracks_multi(
+    xy_w, valid_w, matches_w, z_w, z_ok_w, cfg: WindowBAConfig
+):
+    """All-starts track table for one window.
+
+    Frame-to-frame mutual-NN matching attrites hard (measured ~25%
+    survival per hop), so anchoring landmarks only at the window's first
+    frame leaves later frames nearly unconstrained (3 obs at frame 4 in a
+    5-frame window). Instead a landmark is started at EVERY frame j < M-1
+    for each keypoint that is not the continuation of an existing track,
+    giving each pose the full match set as constraints (2-observation
+    tracks still pin relative pose thanks to the stereo depth residuals).
+
+    Returns (obs (M, P, 2), mask (M, P), z_obs (M, P), z_mask (M, P),
+    start (P,) int32, anchor_xy (P, 2), anchor_z (P,)) with P = (M-1)*K.
+    """
+    M, K = valid_w.shape
+    # keypoints of frame j that are targets of a match from frame j-1
+    # (continuations of existing tracks)
+    def targeted(m_row, src_valid):
+        tgt = jnp.zeros((K,), bool)
+        ok = (m_row >= 0) & src_valid
+        return tgt.at[jnp.where(ok, m_row, 0)].max(ok)
+
+    tables = []
+    for j in range(M - 1):
+        # roll the window so start frame j sits at row 0, reuse the
+        # single-start composer, then roll back and mask rows < j
+        xy_j = jnp.roll(xy_w, -j, axis=0)
+        val_j = jnp.roll(valid_w, -j, axis=0)
+        z_j = jnp.roll(z_w, -j, axis=0)
+        zok_j = jnp.roll(z_ok_w, -j, axis=0)
+        mat_j = jnp.roll(matches_w, -j, axis=0)
+        if j > 0:
+            new = ~targeted(matches_w[j - 1], valid_w[j - 1])
+            val_j = val_j.at[0].set(val_j[0] & new)
+        obs, mask, z_obs, z_mask = _compose_tracks(
+            xy_j, val_j, mat_j, z_j, zok_j, cfg
+        )
+        obs = jnp.roll(obs, j, axis=0)
+        mask = jnp.roll(mask, j, axis=0)
+        z_obs = jnp.roll(z_obs, j, axis=0)
+        z_mask = jnp.roll(z_mask, j, axis=0)
+        row_ok = (jnp.arange(M) >= j)[:, None]
+        tables.append(
+            (
+                obs,
+                mask & row_ok,
+                z_obs,
+                z_mask & row_ok,
+                jnp.full((K,), j, jnp.int32),
+                xy_w[j],
+                z_w[j],
+            )
+        )
+    cat = lambda i, ax: jnp.concatenate([t[i] for t in tables], axis=ax)
+    return (
+        cat(0, 1), cat(1, 1), cat(2, 1), cat(3, 1),
+        cat(4, 0), cat(5, 0), cat(6, 0),
+    )
+
+
+def refine_trajectory_ba(
+    poses: jax.Array,
+    artifacts: StereoArtifacts,
+    cam: PinholeCamera,
+    cfg: WindowBAConfig = WindowBAConfig(),
+) -> jax.Array:
+    """Refine VO poses (N-1, 4, 4) T_wc for frames 1..N-1 with windowed BA.
+
+    Returns refined (N-1, 4, 4). Frames beyond the last complete window are
+    carried along rigidly with the last window's boundary correction.
+    """
+    M = cfg.window
+    N = artifacts.valid.shape[0]
+    T_wc = jnp.concatenate([jnp.eye(4)[None], poses], axis=0)  # (N, 4, 4)
+
+    stride = M - 1
+    n_win = max((N - 1) // stride, 0)
+    if n_win == 0:
+        return poses
+
+    starts = jnp.arange(n_win) * stride  # all fit: s + M - 1 <= N - 1
+    widx = starts[:, None] + jnp.arange(M)[None, :]  # (W, M)
+
+    xy_w = artifacts.xy[widx]  # (W, M, K, 2)
+    valid_w = artifacts.valid[widx]
+    match_w = artifacts.matches[starts[:, None] + jnp.arange(M - 1)[None, :]]
+    z_w = artifacts.z[widx]
+    z_ok_w = artifacts.z_ok[widx]
+    T_w = T_wc[widx]  # (W, M, 4, 4) original VO poses
+
+    obs, mask, z_obs, z_mask, start, anchor_xy, anchor_z = jax.vmap(
+        lambda a, b, c, d, e: _compose_tracks_multi(a, b, c, d, e, cfg)
+    )(xy_w, valid_w, match_w, z_w, z_ok_w)
+    # require a minimum track length (observations per landmark)
+    long_enough = jnp.sum(mask, axis=1) >= cfg.min_obs  # (W, P)
+    mask = mask & long_enough[:, None, :]
+
+    def window_body(anchor_corr, inp):
+        """anchor_corr: (4, 4) corrected T_wc of this window's first frame."""
+        T_orig, st, axy, az, obs_w, mask_w, zo_w, zm_w = inp
+        # re-anchor the window on the corrected boundary pose
+        delta = anchor_corr @ se3_inverse(T_orig[0])
+        T_win = jnp.einsum("ij,mjk->mik", delta, T_orig, precision=_HI)
+        # landmarks: backprojection from each track's start frame, lifted
+        # to world through that frame's (re-anchored) pose
+        pts_c = backproject_depth(axy, az, cam)  # (P, 3)
+        T_anchor = T_win[st]  # (P, 4, 4)
+        pts_w = (
+            jnp.einsum("pij,pj->pi", T_anchor[:, :3, :3], pts_c, precision=_HI)
+            + T_anchor[:, :3, 3]
+        )
+        T_cw = jax.vmap(se3_inverse)(T_win)
+        # gate observations whose initial reprojection or measured depth is
+        # already wild (mutual-NN mismatches survive track composition)
+        pc = (
+            jnp.einsum("mij,kj->mki", T_cw[:, :3, :3], pts_w, precision=_HI)
+            + T_cw[:, None, :3, 3]
+        )
+        proj = project_points(pc, cam, with_distortion=True)
+        err0 = jnp.linalg.norm(proj - obs_w, axis=-1)
+        mask_g = mask_w & (err0 < cfg.gate_px) & (pc[..., 2] > cfg.min_depth)
+        rel_z = jnp.abs(pc[..., 2] - zo_w) / jnp.maximum(zo_w, 1e-6)
+        zmask_g = zm_w & mask_g & (rel_z < cfg.gate_depth_rel)
+
+        res = ba_solve(
+            BAProblem(
+                poses=T_cw,
+                points=pts_w,
+                observations=obs_w,
+                mask=mask_g,
+                cam=cam,
+                depths=zo_w,
+                depth_mask=zmask_g,
+                depth_weight=cfg.depth_weight,
+            ),
+            iters=cfg.iters,
+            fix_first=True,
+        )
+        T_ref = jax.vmap(se3_inverse)(res.poses)  # (M, 4, 4) T_wc refined
+        return T_ref[-1], T_ref[1:]  # next anchor, refined frames s+1..s+M-1
+
+    inputs = (T_w, start, anchor_xy, anchor_z, obs, mask, z_obs, z_mask)
+    last_anchor, refined = jax.lax.scan(window_body, jnp.eye(4), inputs)
+    refined = refined.reshape(n_win * stride, 4, 4)  # frames 1..n_win*stride
+
+    # frames past the last window boundary: rigidly attach the VO tail to
+    # the corrected boundary pose
+    covered = n_win * stride  # last refined frame index
+    delta_tail = last_anchor @ se3_inverse(T_wc[covered])
+    tail = jnp.einsum(
+        "ij,mjk->mik", delta_tail, T_wc[covered + 1 :], precision=_HI
+    )
+    return jnp.concatenate([refined, tail], axis=0)

@@ -5,9 +5,11 @@ scripts with hard-coded paths (SURVEY.md §5 "Config / flag system"):
 
   forest-slam mono    — mono_slam.py       (VO -> TUM trajectory)
   forest-slam stereo  — stereo_slam.py     (VO + map -> TUM + PLY)
+  forest-slam slam    — beyond the ref     (VO + loop closure + pose graph)
   forest-slam gt-traj — gt_localisation.py (GT trajectory from a bag)
   forest-slam gt-map  — gt_mapping.py      (GT lidar map from a bag)
   forest-slam eval    — the evo step       (APE/RPE between TUM files)
+  forest-slam plot    — evo's plot step    (trajectory/APE/xyz/speed pngs)
   forest-slam train-frontend — train SuperPoint+SuperGlue weights
 
 Inputs are either a rosbag (--bag) or the synthetic corridor (--synthetic
@@ -41,10 +43,19 @@ def _add_common(p, stereo: bool):
     p.add_argument("--blur-percentage", type=float, default=0.0)
     p.add_argument("--blur-kernel", type=int, default=15)
     p.add_argument("--blur-angle", type=float, default=0.0)
+    p.add_argument("--metrics-out", default=None,
+                   help="write per-frame metrics as JSON lines")
     if stereo:
         p.add_argument("--map-out", default=None, help="PLY map output path")
         p.add_argument("--voxel", type=float, default=None,
                        help="map voxel downsample size (m)")
+        p.add_argument("--ba", action="store_true",
+                       help="refine with sliding-window bundle adjustment")
+        p.add_argument("--ba-window", type=int, default=5)
+        p.add_argument("--ba-iters", type=int, default=8)
+        p.add_argument("--rectify", action="store_true",
+                       help="stereo-rectify instead of the reference's "
+                            "unrectified parity behavior (quirk B3)")
 
 
 def _apply_blur(args, *stacks):
@@ -116,6 +127,10 @@ def cmd_mono(args) -> int:
     write_tum(args.out, traj)
     import numpy as np
 
+    if args.metrics_out:
+        from forest_slam_tpu.utils.metrics import write_metrics_jsonl
+
+        write_metrics_jsonl(args.metrics_out, np.asarray(timestamps)[1:], outs)
     ok = np.asarray(outs.ok)
     print(f"mono: {len(traj)} poses -> {args.out} "
           f"(tracked {int(ok.sum())}/{ok.size})")
@@ -151,13 +166,29 @@ def cmd_stereo(args) -> int:
         )
         il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
         cfg = StereoConfig(compose_mode=args.compose_mode)
+        if args.rectify:
+            from forest_slam_tpu.stereo.rectify import rectify_images, stereo_rectify
+
+            rect = stereo_rectify(rig)
+            il, ir = rectify_images(rect, il, ir)
+            rig = rect.rig
 
     il, ir = _apply_blur(args, il, ir)
     frontend, fparams = _build_frontend(args, cfg.orb, il.shape[1:])
+    ba = None
+    if args.ba:
+        from forest_slam_tpu.backend import WindowBAConfig
+
+        ba = WindowBAConfig(window=args.ba_window, iters=args.ba_iters)
     traj, outs = run_stereo_vo(
-        il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend, fparams=fparams
+        il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend,
+        fparams=fparams, ba=ba,
     )
     write_tum(args.out, traj)
+    if args.metrics_out:
+        from forest_slam_tpu.utils.metrics import write_metrics_jsonl
+
+        write_metrics_jsonl(args.metrics_out, np.asarray(ts)[1:], outs)
     ok = np.asarray(outs.ok)
     print(f"stereo: {len(traj)} poses -> {args.out} "
           f"(tracked {int(ok.sum())}/{ok.size})")
@@ -167,6 +198,70 @@ def cmd_stereo(args) -> int:
         )
         write_ply(args.map_out, cloud)
         print(f"map: {cloud.shape[0]} points -> {args.map_out}")
+    return 0
+
+
+def cmd_slam(args) -> int:
+    """Full SLAM: stereo VO + loop closure + pose graph (+ optional BA)."""
+    import numpy as np
+
+    from forest_slam_tpu.backend.loop_closure import LoopClosureConfig
+    from forest_slam_tpu.io.tum import write_tum
+    from forest_slam_tpu.pipelines.slam import SlamConfig, run_slam
+    from forest_slam_tpu.pipelines.stereo import StereoConfig
+
+    if args.synthetic:
+        from forest_slam_tpu.io.synthetic import render_sequence
+        from forest_slam_tpu.stereo import SgmConfig
+
+        seq = render_sequence(args.synthetic, height=160, width=224, seed=args.seed)
+        il, ir, ts, rig = seq.images_left, seq.images_right, seq.timestamps, seq.rig
+        stereo = StereoConfig(
+            sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode
+        )
+    else:
+        from forest_slam_tpu.io.calib import botanic_garden_rig
+        from forest_slam_tpu.io.dataset import load_stereo_from_bag
+
+        rig = botanic_garden_rig()
+        seq = load_stereo_from_bag(
+            args.bag, rig, max_frames=args.max_frames,
+            frame_stride=args.frame_stride,
+        )
+        il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
+        stereo = StereoConfig(compose_mode=args.compose_mode)
+        if args.rectify:
+            from forest_slam_tpu.stereo.rectify import rectify_images, stereo_rectify
+
+            rect = stereo_rectify(rig)
+            il, ir = rectify_images(rect, il, ir)
+            rig = rect.rig
+
+    il, ir = _apply_blur(args, il, ir)
+    frontend, fparams = _build_frontend(args, stereo.orb, il.shape[1:])
+    ba = None
+    if args.ba:
+        from forest_slam_tpu.backend import WindowBAConfig
+
+        ba = WindowBAConfig(window=args.ba_window, iters=args.ba_iters)
+    cfg = SlamConfig(
+        stereo=stereo,
+        loop=LoopClosureConfig(
+            max_candidates=args.loop_candidates,
+            min_separation=args.loop_separation,
+        ),
+        keyframe_stride=args.keyframe_stride,
+        ba=ba,
+    )
+    traj, outs = run_slam(
+        il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend, fparams=fparams
+    )
+    write_tum(args.out, traj)
+    ok = np.asarray(outs.vo.ok)
+    print(
+        f"slam: {len(traj)} poses -> {args.out} "
+        f"(tracked {int(ok.sum())}/{ok.size}, loops {int(outs.n_loops)})"
+    )
     return 0
 
 
@@ -206,6 +301,31 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_plot(args) -> int:
+    import os
+
+    from forest_slam_tpu.eval.plots import (
+        plot_ape_colormap,
+        plot_speeds,
+        plot_trajectory_overlay,
+        plot_xyz,
+    )
+    from forest_slam_tpu.io.tum import read_tum
+
+    est = read_tum(args.est)
+    gt = read_tum(args.gt)
+    os.makedirs(args.out_dir, exist_ok=True)
+    ws = not args.no_scale
+    pre = os.path.join(args.out_dir, args.prefix)
+    plot_trajectory_overlay(pre + "traj.png", est, gt, with_scale=ws)
+    stats = plot_ape_colormap(pre + "ape.png", est, gt, with_scale=ws)
+    plot_xyz(pre + "xyz.png", est, gt, with_scale=ws)
+    plot_speeds(pre + "speeds.png", {"estimate": est}, gt=gt)
+    print(json.dumps(stats, indent=2))
+    print(f"plots -> {pre}{{traj,ape,xyz,speeds}}.png")
+    return 0
+
+
 def cmd_train_frontend(args) -> int:
     import jax
 
@@ -236,6 +356,13 @@ def main(argv=None) -> int:
     _add_common(p, stereo=True)
     p.set_defaults(fn=cmd_stereo)
 
+    p = sub.add_parser("slam", help="full SLAM: VO + loop closure + pose graph")
+    _add_common(p, stereo=True)
+    p.add_argument("--keyframe-stride", type=int, default=5)
+    p.add_argument("--loop-candidates", type=int, default=8)
+    p.add_argument("--loop-separation", type=int, default=20)
+    p.set_defaults(fn=cmd_slam)
+
     p = sub.add_parser("gt-traj", help="ground-truth trajectory from a bag")
     p.add_argument("--bag", required=True)
     p.add_argument("--out", required=True)
@@ -255,6 +382,14 @@ def main(argv=None) -> int:
     p.add_argument("--rpe", action="store_true")
     p.add_argument("--rpe-delta", type=float, default=20.0)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("plot", help="trajectory/APE pngs from TUM files")
+    p.add_argument("--est", required=True)
+    p.add_argument("--gt", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--prefix", default="")
+    p.add_argument("--no-scale", action="store_true", help="SE(3) alignment")
+    p.set_defaults(fn=cmd_plot)
 
     p = sub.add_parser("train-frontend", help="train SuperPoint+SuperGlue")
     p.add_argument("--steps", type=int, default=2000)

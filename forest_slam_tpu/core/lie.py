@@ -210,11 +210,16 @@ rodrigues = so3_exp
 
 
 def so3_log(R: jax.Array) -> jax.Array:
-    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3)."""
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
+
+    Differentiable everywhere (used under jacfwd by the pose-graph and BA
+    backends): the small-angle and near-pi branches use the double-where
+    pattern so the untaken branch never feeds non-finite tangents through
+    ``arccos``/``sqrt`` at their singular points.
+    """
     tr = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # vee of the antisymmetric part
+    # vee of the antisymmetric part; |v| = 2 sin(theta)
     v = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -223,10 +228,21 @@ def so3_log(R: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
+    # threshold must exceed the f32 ulp at 1.0 (1.19e-7) or `small` can
+    # never trigger (1.0 - 1e-8 rounds to 1.0 in f32)
+    small = cos_theta > 1.0 - 1e-6  # theta < ~1.4e-3
+    # guard arccos' input in the non-small branch so its derivative stays
+    # finite even where `small` is taken (where-grad contamination)
+    cos_safe = jnp.where(small, 0.0, cos_theta)
+    theta_big = jnp.arccos(cos_safe)
+    vnorm2 = jnp.sum(v * v, axis=-1)
+    theta_small = 0.5 * jnp.sqrt(vnorm2 + _EPS)  # theta ~ |v|/2
+    theta = jnp.where(small, theta_small, theta_big)
+    sin_theta = jnp.sin(theta_big)
     scale = jnp.where(
-        small, 0.5 + theta * theta / 12.0, theta / jnp.maximum(2.0 * sin_theta, _EPS)
+        small,
+        0.5 + theta_small * theta_small / 12.0,
+        theta_big / jnp.maximum(2.0 * sin_theta, _EPS),
     )
     w = scale[..., None] * v
     # Near theta = pi the antisymmetric part vanishes; recover axis from the
@@ -234,7 +250,7 @@ def so3_log(R: jax.Array) -> jax.Array:
     near_pi = theta > jnp.pi - 1e-3
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis_sq = jnp.maximum((diag - cos_theta[..., None]) / jnp.maximum(1 - cos_theta[..., None], _EPS), 0.0)
-    axis = jnp.sqrt(axis_sq)
+    axis = jnp.sqrt(axis_sq + _EPS)
     # fix signs using off-diagonal sums
     s01 = R[..., 0, 1] + R[..., 1, 0]
     s02 = R[..., 0, 2] + R[..., 2, 0]

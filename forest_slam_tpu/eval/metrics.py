@@ -87,14 +87,22 @@ def rpe_distance_ratio(
         # the reference's RPE plots are titled "with Sim(3) Umeyama
         # alignment" — without it a unit-scale mono trajectory is meaningless
         est_m = align_trajectory(est_m, ref_m, with_scale=True)
-    seg = np.linalg.norm(np.diff(ref_m.positions, axis=0), axis=1)
-    cum = np.concatenate([[0.0], np.cumsum(seg)])
-    pairs = []
-    i = 0
-    for j in range(1, n):
-        if cum[j] - cum[i] >= delta_m:
-            pairs.append((i, j))
-            i = j
+    # evo's filter_pairs_by_path rule (all_pairs=False, pairs from the
+    # aligned ESTIMATE — evo's default --pairs_from_reference=False): walk
+    # the trajectory accumulating per-frame displacement, mark an id every
+    # time the accumulator reaches delta (then reset), and pair consecutive
+    # marks. Note index 0 is NOT a mark, so the first partial segment is
+    # dropped — matching this rule exactly reproduces the reference's
+    # plotted stats (BASELINE.md RPE rows).
+    seg = np.linalg.norm(np.diff(est_m.positions, axis=0), axis=1)
+    ids = []
+    acc = 0.0
+    for i in range(1, n):
+        acc += seg[i - 1]
+        if acc >= delta_m:
+            ids.append(i)
+            acc = 0.0
+    pairs = list(zip(ids[:-1], ids[1:]))
     errors = []
     for i, j in pairs:
         d_ref = np.linalg.norm(ref_m.positions[j] - ref_m.positions[i])

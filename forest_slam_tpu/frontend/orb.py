@@ -45,6 +45,15 @@ class OrbConfig(NamedTuple):
     edge_margin: int = 16  # keypoints closer to a level border are dropped
     n_angle_bins: int = 30  # OpenCV quantizes BRIEF rotation into 12° bins
     pattern_seed: int = 77
+    # spatial bucketing: keep at most one corner per cell x cell tile and
+    # top-k over tile maxima instead of sorting the full score map — the
+    # TPU analogue of OpenCV ORB's quadtree keypoint distribution, and ~3x
+    # cheaper than a full-image top_k. 0 restores exact full-image top-k.
+    cell_size: int = 8
+    # detection backend: "auto" uses the fused Pallas kernel
+    # (frontend/pallas_detect.py) on TPU and the XLA ops elsewhere;
+    # "xla" forces the XLA path; "pallas" forces the kernel.
+    detect_backend: str = "auto"
 
 
 class OrbFeatures(NamedTuple):
@@ -101,6 +110,61 @@ def _circular_mask_offsets(radius: int = 15) -> np.ndarray:
     return np.stack([ys[mask], xs[mask]], axis=1).astype(np.int32)
 
 
+_PATCH = 31  # patch side for orientation + BRIEF (offsets are <= 15)
+_PR = _PATCH // 2
+
+
+@functools.lru_cache(maxsize=None)
+def _moment_matrix() -> np.ndarray:
+    """(31*31, 2) f32: disc-masked (dx, dy) weights — IC-angle moments as
+    one patch @ matrix matmul (m10, m01 columns)."""
+    ys, xs = np.mgrid[-_PR : _PR + 1, -_PR : _PR + 1]
+    disc = (ys * ys + xs * xs <= _PR * _PR).astype(np.float32)
+    return np.stack(
+        [(xs * disc).reshape(-1), (ys * disc).reshape(-1)], axis=1
+    ).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _brief_select_matrix(seed: int, n_bins: int) -> np.ndarray:
+    """(31*31, n_bins*256) f32 one-hot difference matrix.
+
+    Column (b*256 + i) holds +1 at the flattened patch index of rotated
+    pair point 1 and -1 at point 0, so ``patch_flat @ M > 0`` evaluates
+    every BRIEF bit for every rotation bin as ONE matmul (MXU) instead of
+    per-keypoint scattered gathers (measured ~10 ms/frame at 1024 kpts on
+    v5e — gathers run at ~10^8 elem/s while the equivalent matmul is
+    ~0.3 ms).
+    """
+    pats = _rotated_patterns(seed, n_bins)  # (n_bins, 256, 2, 2) of (dy,dx)
+    M = np.zeros((_PATCH * _PATCH, n_bins * 256), np.float32)
+    for b in range(n_bins):
+        for i in range(256):
+            (y0, x0), (y1, x1) = pats[b, i]
+            M[(y0 + _PR) * _PATCH + (x0 + _PR), b * 256 + i] -= 1.0
+            M[(y1 + _PR) * _PATCH + (x1 + _PR), b * 256 + i] += 1.0
+    return M
+
+
+def _extract_patches(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """(K, 31, 31) patches centered on integer-cast keypoints.
+
+    The image is padded by the patch radius so every dynamic_slice start is
+    in-bounds without clamping (keypoints already respect edge_margin >= 16;
+    invalid slots sit at (0, 0) and slice padding). dynamic_slice is ~3x
+    faster than advanced-indexing gathers on TPU for this access pattern.
+    """
+    pad = _PR + 1
+    padded = jnp.pad(img, pad)
+    xi = xy[:, 0].astype(jnp.int32) + pad - _PR
+    yi = xy[:, 1].astype(jnp.int32) + pad - _PR
+
+    def one(x, y):
+        return jax.lax.dynamic_slice(padded, (y, x), (_PATCH, _PATCH))
+
+    return jax.vmap(one)(xi, yi)
+
+
 def _level_geometry(height: int, width: int, cfg: OrbConfig):
     """Static per-level (h, w, scale) plus per-level keypoint budgets,
     distributed like OpenCV ORB (geometric decay by 1/scale_factor)."""
@@ -121,77 +185,141 @@ def _level_geometry(height: int, width: int, cfg: OrbConfig):
 # --------------------------------------------------------------------------
 
 
-def _intensity_centroid_angle(img: jax.Array, xy: jax.Array) -> jax.Array:
-    """Orientation by intensity centroid over a radius-15 disc (ORB's
-    IC_Angle). ``xy`` is (K, 2) float (x, y) on this level. Batched gather."""
-    offs = jnp.asarray(_circular_mask_offsets(15))  # (M, 2) of (dy, dx)
-    H, W = img.shape
-    yi = xy[:, 1].astype(jnp.int32)[:, None] + offs[None, :, 0]  # (K, M)
-    xi = xy[:, 0].astype(jnp.int32)[:, None] + offs[None, :, 1]
-    yi = jnp.clip(yi, 0, H - 1)
-    xi = jnp.clip(xi, 0, W - 1)
-    patch = img[yi, xi]  # (K, M)
-    m01 = jnp.sum(patch * offs[None, :, 0].astype(jnp.float32), axis=1)
-    m10 = jnp.sum(patch * offs[None, :, 1].astype(jnp.float32), axis=1)
-    return jnp.arctan2(m01, m10)
+def _select_keypoints(ranked: jax.Array, budget: int, cell: int):
+    """NMS + top-k selection. ``cell > 0``: bucketed (<=1 corner per
+    cell x cell tile, top-k over tile maxima); ``cell == 0``: exact
+    full-image top-k. Returns (xy (K, 2) f32, score (K,), valid (K,))."""
+    from forest_slam_tpu.utils.filters import maxpool2d_same
+
+    H, W = ranked.shape
+    is_max = ranked >= maxpool2d_same(ranked, 3)
+    kept = jnp.where(is_max & jnp.isfinite(ranked), ranked, -jnp.inf)
+
+    if cell <= 0:
+        vals, idx = jax.lax.top_k(kept.reshape(-1), budget)
+        ys = (idx // W).astype(jnp.float32)
+        xs = (idx % W).astype(jnp.float32)
+    else:
+        Hp = -(-H // cell) * cell
+        Wp = -(-W // cell) * cell
+        kp = jnp.pad(
+            kept, ((0, Hp - H), (0, Wp - W)), constant_values=-jnp.inf
+        )
+        tiles = (
+            kp.reshape(Hp // cell, cell, Wp // cell, cell)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, cell * cell)
+        )
+        tvals = jnp.max(tiles, axis=1)
+        targ = jnp.argmax(tiles, axis=1)
+        if budget > tvals.shape[0]:  # tiny pyramid level: fewer tiles
+            pad = budget - tvals.shape[0]
+            tvals = jnp.concatenate([tvals, jnp.full((pad,), -jnp.inf)])
+            targ = jnp.concatenate([targ, jnp.zeros((pad,), targ.dtype)])
+        vals, tidx = jax.lax.top_k(tvals, budget)
+        within = targ[tidx]
+        ncx = Wp // cell
+        ys = ((tidx // ncx) * cell + within // cell).astype(jnp.float32)
+        xs = ((tidx % ncx) * cell + within % cell).astype(jnp.float32)
+    valid = jnp.isfinite(vals)
+    xy = jnp.stack([xs, ys], axis=-1) * valid[:, None]
+    return xy, jnp.where(valid, vals, 0.0), valid
 
 
-def _brief_descriptors(
-    blurred: jax.Array, xy: jax.Array, angle: jax.Array, cfg: OrbConfig
-) -> jax.Array:
-    """(K, 8) uint32 rotated-BRIEF from the blurred level image."""
-    table = jnp.asarray(_rotated_patterns(cfg.pattern_seed, cfg.n_angle_bins))
+def _orient_and_describe(patches: jax.Array, cfg: OrbConfig):
+    """IC angle + rotated BRIEF from (K, 31, 31) patches, all as matmuls.
+
+    Moments come from a disc-masked (dx, dy) weight matrix; all
+    ``n_angle_bins x 256`` BRIEF comparisons are evaluated at once by the
+    one-hot difference matmul and the keypoint's quantized-angle bin row is
+    selected with a one-hot contraction — zero per-keypoint gathers.
+    """
+    K = patches.shape[0]
+    flat = patches.reshape(K, _PATCH * _PATCH)
+    mom = flat @ jnp.asarray(_moment_matrix())  # (K, 2) = (m10, m01)
+    angle = jnp.arctan2(mom[:, 1], mom[:, 0])
+
     two_pi = 2.0 * math.pi
-    bins = jnp.floor((angle % two_pi) / two_pi * cfg.n_angle_bins).astype(jnp.int32)
-    bins = jnp.clip(bins, 0, cfg.n_angle_bins - 1)
-    offs = table[bins]  # (K, 256, 2, 2)
-    H, W = blurred.shape
-    yc = xy[:, 1].astype(jnp.int32)[:, None]
-    xc = xy[:, 0].astype(jnp.int32)[:, None]
+    nb = cfg.n_angle_bins
+    bins = jnp.floor((angle % two_pi) / two_pi * nb).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, nb - 1)
 
-    def sample(point_idx):
-        yi = jnp.clip(yc + offs[:, :, point_idx, 0], 0, H - 1)
-        xi = jnp.clip(xc + offs[:, :, point_idx, 1], 0, W - 1)
-        return blurred[yi, xi]  # (K, 256)
-
-    bits = (sample(0) < sample(1)).astype(jnp.uint32)  # (K, 256)
+    sel = jnp.asarray(_brief_select_matrix(cfg.pattern_seed, nb))
+    diffs = (flat @ sel).reshape(K, nb, 256)  # I[p1] - I[p0], all bins
+    onehot = jax.nn.one_hot(bins, nb, dtype=diffs.dtype)  # (K, nb)
+    picked = jnp.einsum("kb,kbi->ki", onehot, diffs)  # (K, 256)
+    bits = (picked > 0).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     packed = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
-    return packed.astype(jnp.uint32)  # (K, 8)
+    return angle, packed.astype(jnp.uint32)
+
+
+def _use_pallas(cfg: OrbConfig) -> bool:
+    if cfg.detect_backend == "pallas":
+        return True
+    if cfg.detect_backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _select_keypoints_pallas(level_img, budget: int, cfg: OrbConfig):
+    """Detection via the fused Pallas kernel: cell-pooled scores/indices
+    from one VMEM pass, then a tiny top-k over cells (same semantics as
+    the XLA path with cell_size=8 — equivalence-tested)."""
+    from forest_slam_tpu.frontend.pallas_detect import detect_pooled
+
+    vals, idx, Wp = detect_pooled(
+        level_img,
+        threshold=cfg.fast_threshold,
+        harris_block=cfg.harris_block,
+        margin=cfg.edge_margin,
+    )
+    flat_v = vals.reshape(-1)
+    flat_i = idx.reshape(-1)
+    if budget > flat_v.shape[0]:
+        pad = budget - flat_v.shape[0]
+        flat_v = jnp.concatenate([flat_v, jnp.full((pad,), -jnp.inf)])
+        flat_i = jnp.concatenate([flat_i, jnp.zeros((pad,), flat_i.dtype)])
+    v, sel = jax.lax.top_k(flat_v, budget)
+    fi = flat_i[sel]
+    valid = jnp.isfinite(v)
+    xy = jnp.stack(
+        [(fi % Wp).astype(jnp.float32), (fi // Wp).astype(jnp.float32)],
+        axis=-1,
+    ) * valid[:, None]
+    return xy, jnp.where(valid, v, 0.0), valid
 
 
 def _extract_level(
     level_img: jax.Array, budget: int, scale: float, lvl: int, cfg: OrbConfig
 ):
     H, W = level_img.shape
-    fast = fast_score_map(level_img, cfg.fast_threshold)
-    harris = harris_response(level_img, cfg.harris_block)
-    # FAST corners, 3x3 NMS, ranked by Harris (OpenCV ORB HARRIS_SCORE)
-    ranked = jnp.where(fast > 0.0, harris, -jnp.inf)
-    # enforce the edge margin so orientation/BRIEF patches stay in-bounds
-    ys = jnp.arange(H)[:, None]
-    xs = jnp.arange(W)[None, :]
-    m = cfg.edge_margin
-    interior = (ys >= m) & (ys < H - m) & (xs >= m) & (xs < W - m)
-    ranked = jnp.where(interior, ranked, -jnp.inf)
-    # NMS on the ranking score
-    from forest_slam_tpu.utils.filters import maxpool2d_same
+    if _use_pallas(cfg) and cfg.cell_size == 8:
+        xy, resp, valid = _select_keypoints_pallas(level_img, budget, cfg)
+    else:
+        fast = fast_score_map(level_img, cfg.fast_threshold)
+        harris = harris_response(level_img, cfg.harris_block)
+        # FAST corners ranked by Harris (OpenCV ORB HARRIS_SCORE)
+        ranked = jnp.where(fast > 0.0, harris, -jnp.inf)
+        # enforce the edge margin so orientation/BRIEF patches stay in-bounds
+        ys = jnp.arange(H)[:, None]
+        xs = jnp.arange(W)[None, :]
+        m = cfg.edge_margin
+        interior = (ys >= m) & (ys < H - m) & (xs >= m) & (xs < W - m)
+        ranked = jnp.where(interior, ranked, -jnp.inf)
 
-    is_max = ranked >= maxpool2d_same(ranked, 3)
-    flat = jnp.where(is_max & jnp.isfinite(ranked), ranked, -jnp.inf).reshape(-1)
-    vals, idx = jax.lax.top_k(flat, budget)
-    valid = jnp.isfinite(vals)
-    xy = jnp.stack(
-        [(idx % W).astype(jnp.float32), (idx // W).astype(jnp.float32)], axis=-1
-    )
-    xy = xy * valid[:, None]
+        xy, resp, valid = _select_keypoints(ranked, budget, cfg.cell_size)
 
-    angle = _intensity_centroid_angle(level_img, xy)
+    # one patch slab from the blurred level serves orientation AND BRIEF
+    # (ORB computes IC angle on the raw image; a sigma-2 blur preserves the
+    # centroid direction and saves a second patch extraction — documented
+    # deviation, like the non-copied BRIEF pattern above)
     blurred = gaussian_blur(level_img, sigma=2.0, radius=3)
-    desc = _brief_descriptors(blurred, xy, angle, cfg)
+    patches = _extract_patches(blurred, xy)
+    angle, desc = _orient_and_describe(patches, cfg)
     return OrbFeatures(
         xy=xy * scale,
-        response=jnp.where(valid, vals, 0.0),
+        response=resp,
         angle=angle,
         octave=jnp.full((budget,), lvl, jnp.int32),
         desc=desc,

@@ -1,0 +1,261 @@
+"""Fused FAST-9 + Harris + NMS + cell-pooling detection kernel (Pallas).
+
+The XLA version of the detection stage (frontend/fast.py + the bucketed
+selection in frontend/orb.py) round-trips ~40 full-image temporaries
+through HBM (16 ring shifts, 24-stack arc mins, Harris products, NMS
+pools): measured 3.1 ms/frame at 960x600 on v5e, the single largest cost
+in the ORB front-end. This kernel computes the whole stage in ONE pass
+over row tiles held in VMEM:
+
+  HBM row-tile (+4-row halo) -> ring diffs -> FAST-9 arc score
+                             -> Sobel/Harris -> rank = where(fast, harris)
+                             -> 3x3 NMS -> per 8x8-cell max + argmax
+
+and writes only the (H/8, W/8) pooled score/index maps back to HBM —
+~64x less traffic than the dense maps. Keypoint selection is then a tiny
+``top_k`` over cells (frontend/orb.py), identical semantics to the
+XLA path (same formulas as frontend/fast.py; equivalence-tested).
+
+The image is pre-padded on the host: 4 halo rows/cols of zeros (FAST ring
+3 + Sobel 1; Harris' 7-box adds 3 more inside the tile) and lane-aligned
+width. Pixels outside the true image are masked to -inf before pooling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from forest_slam_tpu.frontend.fast import FAST_OFFSETS
+
+_HALO = 8  # rows of context above/below a tile (ring 3 + sobel 1 + box 3 + nms 1)
+_CELL = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fast_score(tile: jax.Array, threshold: float) -> jax.Array:
+    """FAST-9 score for the centered (Hc, Wc) region of ``tile``.
+
+    ``tile`` must have >= 3 rows/cols of context around the region.
+    Identical math to fast.py:fast_score_map (16 ring diffs, best
+    min-over-9-contiguous arc, bright/dark, threshold)."""
+    Ht, Wt = tile.shape
+    Hc, Wc = Ht - 6, Wt - 6
+    center = tile[3 : 3 + Hc, 3 : 3 + Wc]
+    diffs = []
+    for dy, dx in FAST_OFFSETS:
+        diffs.append(tile[3 + dy : 3 + dy + Hc, 3 + dx : 3 + dx + Wc] - center)
+    d24 = diffs + diffs[:8]
+
+    def arc_scores(ds):
+        mins = []
+        for s in range(16):
+            m = ds[s]
+            for k in range(1, 9):
+                m = jnp.minimum(m, ds[s + k])
+            mins.append(m)
+        out = mins[0]
+        for m in mins[1:]:
+            out = jnp.maximum(out, m)
+        return out
+
+    bright = arc_scores(d24)
+    dark = arc_scores([-d for d in d24])
+    score = jnp.maximum(bright, dark)
+    return jnp.where(score > threshold, score, 0.0)
+
+
+def _harris(tile: jax.Array, block_size: int, k: float) -> jax.Array:
+    """Harris response for the centered region (context >= 4 rows/cols).
+
+    Same formulas as fast.py:harris_response (Sobel 3x3, unnormalized
+    box sum over block_size, OpenCV's 1/(4*255*block) scaling)."""
+    Ht, Wt = tile.shape
+    r = block_size // 2
+    # Sobel on the region grown by the box radius
+    Hg, Wg = Ht - 2, Wt - 2  # after 3x3 sobel
+
+    def shift(dy, dx):
+        return tile[1 + dy : 1 + dy + Hg, 1 + dx : 1 + dx + Wg]
+
+    # separable sobel: smooth [1,2,1] x deriv [-1,0,1]
+    gx = (
+        (shift(-1, 1) + 2 * shift(0, 1) + shift(1, 1))
+        - (shift(-1, -1) + 2 * shift(0, -1) + shift(1, -1))
+    )
+    gy = (
+        (shift(1, -1) + 2 * shift(1, 0) + shift(1, 1))
+        - (shift(-1, -1) + 2 * shift(-1, 0) + shift(-1, 1))
+    )
+    scale = 1.0 / ((1 << 2) * block_size * 255.0)
+    gx = gx * scale
+    gy = gy * scale
+    ixx, iyy, ixy = gx * gx, gy * gy, gx * gy
+
+    def box(a):
+        Hc, Wc = Hg - 2 * r, Wg - 2 * r
+        out = None
+        for dy in range(block_size):
+            row = a[dy : dy + Hc]
+            s = None
+            for dx in range(block_size):
+                col = row[:, dx : dx + Wc]
+                s = col if s is None else s + col
+            out = s if out is None else out + s
+        return out
+
+    bxx, byy, bxy = box(ixx), box(iyy), box(ixy)
+    det = bxx * byy - bxy * bxy
+    tr = bxx + byy
+    return det - k * tr * tr
+
+
+def _detect_kernel(
+    img_ref,  # (Hp + 2*HALO, Wp + 256) f32 in ANY/HBM, data at [HALO, 128]
+    vals_ref,  # (TILE/8, Wp/8) f32 block
+    idx_ref,  # (TILE/8, Wp/8) i32 block
+    scratch,  # (TILE + 2*HALO, Wp + 256) VMEM
+    sem,
+    *,
+    tile_h: int,
+    Wp: int,
+    H: int,
+    W: int,
+    threshold: float,
+    harris_block: int,
+    harris_k: float,
+    margin: int,
+):
+    i = pl.program_id(0)
+    row0 = i * tile_h  # top output row, in unpadded coords
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(row0, tile_h + 2 * _HALO), :], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+
+    # target region for ranking: (tile_h + 2, Wp + 2) — one extra ring for
+    # the 3x3 NMS. Harris needs 4 more rows/cols of context (Sobel 1 +
+    # box 3) -> (tile_h+10, Wp+10); FAST needs 3 -> one less on each side.
+    co = 128  # column offset of the true data inside the padded width
+    f_tile = scratch[
+        _HALO - 5 : _HALO + tile_h + 5, co - 5 : co + Wp + 5
+    ]
+    fast = _fast_score(f_tile[1:-1, 1:-1], threshold)  # (tile_h+2, Wp+2)
+    harris = _harris(f_tile, harris_block, harris_k)  # (tile_h+2, Wp+2)
+
+    neg = jnp.float32(-jnp.inf)
+    rows = jax.lax.broadcasted_iota(jnp.int32, fast.shape, 0) + (row0 - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, fast.shape, 1) - 1
+    interior = (
+        (rows >= margin)
+        & (rows < H - margin)
+        & (cols >= margin)
+        & (cols < W - margin)
+    )
+    ranked = jnp.where((fast > 0.0) & interior, harris, neg)
+
+    # 3x3 NMS on the inner (tile_h, Wp) region
+    nbr = ranked[1:-1, 1:-1]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 1 and dx == 1:
+                continue
+            nbr = jnp.maximum(nbr, ranked[dy : dy + tile_h, dx : dx + Wp])
+    kept = jnp.where(ranked[1:-1, 1:-1] >= nbr, ranked[1:-1, 1:-1], neg)
+
+    # per 8x8-cell max + argmax, via strided slices (no VMEM transposes)
+    nc_y, nc_x = tile_h // _CELL, Wp // _CELL
+    cmax = jnp.full((nc_y, nc_x), neg, jnp.float32)
+    wy = jnp.zeros((nc_y, nc_x), jnp.int32)
+    wx = jnp.zeros((nc_y, nc_x), jnp.int32)
+    for dy in range(_CELL):
+        for dx in range(_CELL):
+            v = kept[dy::_CELL, dx::_CELL]
+            better = v > cmax
+            cmax = jnp.where(better, v, cmax)
+            wy = jnp.where(better, dy, wy)
+            wx = jnp.where(better, dx, wx)
+    gy = (jax.lax.broadcasted_iota(jnp.int32, cmax.shape, 0) * _CELL
+          + row0 + wy)
+    gx = jax.lax.broadcasted_iota(jnp.int32, cmax.shape, 1) * _CELL + wx
+    vals_ref[:] = cmax
+    idx_ref[:] = gy * Wp + gx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "threshold", "harris_block", "harris_k", "margin", "interpret"
+    ),
+)
+def detect_pooled(
+    image: jax.Array,
+    threshold: float = 20.0,
+    harris_block: int = 7,
+    harris_k: float = 0.04,
+    margin: int = 16,
+    interpret: bool = False,
+):
+    """Fused detection: (H, W) image -> per-8x8-cell (scores, flat indices).
+
+    Returns ((Hp/8, Wp/8) f32 cell scores with -inf for empty cells,
+    (Hp/8, Wp/8) i32 flat indices y * Wp + x, and Wp) — feed to top_k for
+    keypoint selection.
+    """
+    H, W = image.shape
+    tile_h = 32
+    Hp = _round_up(H, tile_h)
+    Wp = _round_up(W, 128)
+    padded = jnp.zeros((Hp + 2 * _HALO, Wp + 256), jnp.float32)
+    padded = padded.at[
+        _HALO : _HALO + H, 128 : 128 + W
+    ].set(image.astype(jnp.float32))
+
+    grid = Hp // tile_h
+    kernel = functools.partial(
+        _detect_kernel,
+        tile_h=tile_h,
+        Wp=Wp,
+        H=H,
+        W=W,
+        threshold=threshold,
+        harris_block=harris_block,
+        harris_k=harris_k,
+        margin=margin,
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hp // _CELL, Wp // _CELL), jnp.float32),
+            jax.ShapeDtypeStruct((Hp // _CELL, Wp // _CELL), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(
+                (tile_h // _CELL, Wp // _CELL),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_h // _CELL, Wp // _CELL),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _HALO, Wp + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(padded)
+    return vals, idx, Wp

@@ -204,16 +204,27 @@ def solve_pnp_ransac(
     min_inliers: int = 6,
     refine_iters: int = 8,
     n_starts: int = 3,
+    identity_prior_anneal: float = 48.0,
 ) -> PnPResult:
     """Robust PnP. ``pts2d`` are pixel observations; ``pts3d`` object points.
 
     Matches the reference call site semantics (reprojectionError=1.0,
     iterationsCount=1000 -> static 1024 hypothesis batch, ITERATIVE ->
-    Gauss-Newton polish on the inlier set), with one extra robustness layer:
-    the ``n_starts`` best-scoring hypotheses are each GN-refined and the one
-    with the largest final consensus (ties broken by lower mean inlier
-    residual) wins — a single annealed refine can settle into a local
-    optimum when the top hypothesis carries a biased minimal sample.
+    Gauss-Newton polish on the inlier set), with two extra robustness
+    layers:
+
+    - the ``n_starts`` best-scoring hypotheses are each GN-refined and the
+      one with the largest final consensus (ties broken by lower mean
+      inlier residual) wins — a single annealed refine can settle into a
+      local optimum when the top hypothesis carries a biased minimal
+      sample;
+    - one additional GN start from the IDENTITY pose with a wide annealed
+      gate (``identity_prior_anneal * reproj_threshold`` px): the 6-point
+      DLT degenerates when the scene is coplanar (e.g. a VO frame looking
+      straight at one wall during an in-place turn — measured 0 inliers
+      from ~180 good matches), while small-motion frames converge fine
+      from the constant-position prior. Set ``identity_prior_anneal=0`` to
+      disable.
     """
     xn = undistort_points(pts2d, cam)  # normalized coords for the DLT
     idx = ransac_sample_indices(key, valid, n_hypotheses, 6)
@@ -239,7 +250,15 @@ def solve_pnp_ransac(
 
     # candidates: the k refined poses + the best unrefined one (fallback if
     # refinement diverges); score = inliers, ties -> lower mean residual
-    P_cands = jnp.concatenate([Ts[:, :3, :], P_tops[:1]], axis=0)
+    cands = [Ts[:, :3, :], P_tops[:1]]
+    if identity_prior_anneal > 0:
+        T_pr = _gauss_newton_refine(
+            jnp.eye(4, dtype=pts3d.dtype), pts3d, pts2d, valid, cam,
+            reproj_threshold, iters=refine_iters,
+            anneal=identity_prior_anneal,
+        )
+        cands.append(T_pr[None, :3, :])
+    P_cands = jnp.concatenate(cands, axis=0)
     err_c = jax.vmap(lambda P: _reproject_error(P, pts3d, pts2d, cam))(P_cands)
     inl_c = (err_c < reproj_threshold) & valid[None, :]
     cnt_c = jnp.sum(inl_c, axis=1)

@@ -50,6 +50,22 @@ def preprocess_frames(
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
+def _native_read(bag_path, topic, max_frames, stride):
+    """Images via the C++ reader (forest_slam_tpu/native), or None to fall
+    back to the pure-Python parser."""
+    from forest_slam_tpu import native
+
+    if not native.available():
+        return None
+    try:
+        imgs, stamps, _ = native.read_image_topic(
+            bag_path, topic, max_frames=max_frames, stride=stride
+        )
+        return imgs, stamps
+    except RuntimeError:
+        return None
+
+
 class StereoSequence(NamedTuple):
     images_left: jax.Array  # (N, H, W) float32, undistorted gray
     images_right: jax.Array
@@ -71,7 +87,22 @@ def load_stereo_from_bag(
 ) -> StereoSequence:
     """Read + pair + preprocess a stereo bag (the reference's topics,
     stereo_slam.py:177). Pairs are aligned by stream order; ``frame_stride``
-    subsamples pairs (the K-interval ablation knob, quirk B2 made sane)."""
+    subsamples pairs (the K-interval ablation knob, quirk B2 made sane).
+
+    The C++ reader (forest_slam_tpu/native) is used when available (pairs
+    by per-topic index, equivalent for lockstep stereo streams); otherwise
+    the pure-Python parser."""
+    nat_l = _native_read(bag_path, left_topic, max_frames, frame_stride)
+    nat_r = _native_read(bag_path, right_topic, max_frames, frame_stride)
+    if nat_l is not None and nat_r is not None:
+        lefts, times = nat_l
+        rights, _ = nat_r
+        n = min(len(lefts), len(rights))
+        return StereoSequence(
+            images_left=preprocess_frames(lefts[:n], rig.left),
+            images_right=preprocess_frames(rights[:n], rig.right),
+            timestamps=np.asarray(times[:n]),
+        )
     lefts, rights, times = [], [], []
     pend_l = None
     for topic, msg, t in BagReader(bag_path).read_messages(
@@ -106,6 +137,12 @@ def load_mono_from_bag(
     max_frames: int | None = None,
     frame_stride: int = 1,
 ) -> MonoSequence:
+    nat = _native_read(bag_path, topic, max_frames, frame_stride)
+    if nat is not None:
+        arr, times = nat
+        return MonoSequence(
+            images=preprocess_frames(arr, cam), timestamps=np.asarray(times)
+        )
     frames, times = [], []
     for tpc, msg, t in BagReader(bag_path).read_messages(topics=[topic]):
         frames.append(msg.to_array())

@@ -183,6 +183,56 @@ def corridor_trajectory(
     return se3_matrix(R, t)
 
 
+def out_and_back_trajectory(
+    n_forward: int = 20,
+    n_turn: int = 12,
+    speed: float = 0.25,
+    n_rejoin: int = 6,
+) -> jax.Array:
+    """(N, 4, 4) loop trajectory: forward down the corridor, turn 180° in
+    place, return PAST the start, turn back to the original heading, and
+    retrace the first leg for ``n_rejoin`` frames — those final frames
+    revisit the first frames' viewpoints exactly, giving the loop-closure
+    backend a true loop to detect. N = 2*n_forward + 2*n_turn + 2*n_rejoin.
+    """
+    import numpy as _np
+
+    yaw = []
+    z = []
+    # phase 1: forward
+    yaw += [0.0] * n_forward
+    z += list(_np.arange(n_forward) * speed)
+    z_far = (n_forward - 1) * speed
+    # phase 2: rotate 0 -> pi in place
+    yaw += list(_np.linspace(0.0, _np.pi, n_turn, endpoint=False))
+    z += [z_far] * n_turn
+    # phase 3: return (heading -z), overshooting the start by n_rejoin steps
+    n_back = n_forward + n_rejoin
+    yaw += [_np.pi] * n_back
+    z += list(z_far - _np.arange(1, n_back + 1) * speed)
+    # phase 4: rotate pi -> 2 pi back to the initial heading
+    yaw += list(_np.linspace(_np.pi, 2 * _np.pi, n_turn, endpoint=False))
+    z += [z_far - n_back * speed] * n_turn
+    # phase 5: retrace the first leg (true revisits of frames ~0..n_rejoin)
+    yaw += [2 * _np.pi] * n_rejoin
+    z += list(z_far - n_back * speed + _np.arange(1, n_rejoin + 1) * speed)
+    yaw = _np.asarray(yaw, _np.float32)
+    z = _np.asarray(z, _np.float32)
+    cy, sy = _np.cos(yaw), _np.sin(yaw)
+    zero = _np.zeros_like(cy)
+    one = _np.ones_like(cy)
+    R = _np.stack(
+        [
+            _np.stack([cy, zero, sy], -1),
+            _np.stack([zero, one, zero], -1),
+            _np.stack([-sy, zero, cy], -1),
+        ],
+        axis=-2,
+    )
+    t = _np.stack([zero, zero, z], axis=-1)
+    return se3_matrix(jnp.asarray(R), jnp.asarray(t))
+
+
 class SyntheticSequence(NamedTuple):
     images_left: jax.Array  # (N, H, W) float32 [0, 255]
     images_right: jax.Array  # (N, H, W)

@@ -84,3 +84,44 @@ def write_tum(path: str, traj: Trajectory) -> None:
         [traj.timestamps, traj.positions, traj.quaternions]
     )
     np.savetxt(path, data, delimiter=" ", fmt="%f")
+
+
+class StreamingTumWriter:
+    """Incremental TUM sink: rows are appended and flushed per chunk, so a
+    crash loses at most the current chunk (the reference saves only at end
+    of run and loses everything — SURVEY.md §5 checkpoint/resume row).
+
+    Usage::
+
+        with StreamingTumWriter(path) as w:
+            for chunk in ...:
+                w.append(timestamps, pose_matrices)   # flushed immediately
+    """
+
+    def __init__(self, path: str):
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        self._f = open(path, "w")
+
+    def append(self, timestamps, matrices) -> None:
+        traj = Trajectory.from_matrices(
+            np.asarray(timestamps, np.float64),
+            np.asarray(matrices, np.float64),
+        )
+        data = np.column_stack(
+            [traj.timestamps, traj.positions, traj.quaternions]
+        )
+        np.savetxt(self._f, data, delimiter=" ", fmt="%f")
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def close(self) -> None:
+        if not self._f.closed:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

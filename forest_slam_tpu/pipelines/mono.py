@@ -126,6 +126,109 @@ def run_mono_vo_scan(
     return outs
 
 
+# --------------------------------------------------------------------------
+# Batched (frame-parallel) runner — mirrors pipelines/stereo.py: extraction
+# and pair estimation are frame-independent, only chaining is sequential
+# --------------------------------------------------------------------------
+
+
+class MonoPair(NamedTuple):
+    rel: jax.Array  # (4, 4) gated relative transform
+    ok: jax.Array
+    n_matches: jax.Array
+    n_inliers: jax.Array
+
+
+def _mono_pair(prev_feats, cur_feats, key, cam, cfg: MonoConfig,
+               frontend: FrontendFns, fparams, image_shape) -> MonoPair:
+    matches = frontend.match(fparams, prev_feats, cur_feats, image_shape)
+    mask = matches >= 0
+    idx = jnp.where(mask, matches, 0)
+    x0 = _normalize(prev_feats.xy, cam)
+    x1 = _normalize(cur_feats.xy[idx], cam)
+    rel_pose = estimate_relative_pose(
+        x0, x1, mask, key,
+        threshold=cfg.ransac_threshold_px / cam.fx,
+        n_hypotheses=cfg.n_hypotheses,
+        refine_iters=cfg.refine_iters,
+    )
+    ok = rel_pose.ok & (jnp.sum(mask) >= cfg.min_matches)
+    rel = se3_matrix(rel_pose.R, rel_pose.t)
+    if cfg.compose_mode == "odometry":
+        rel = se3_inverse(rel)
+    rel = jnp.where(ok, rel, jnp.eye(4))
+    return MonoPair(
+        rel=rel, ok=ok, n_matches=jnp.sum(mask), n_inliers=rel_pose.n_inliers
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _mono_extract_chunk(images, frontend, fparams):
+    return jax.vmap(lambda im: frontend.extract(fparams, im))(images)
+
+
+def _tree_slice_pad(tree, start: int, size: int):
+    def take(a):
+        n = a.shape[0]
+        idx = jnp.minimum(jnp.arange(start, start + size), n - 1)
+        return a[idx]
+
+    return jax.tree.map(take, tree)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 7))
+def _mono_pairs(prev_feats, cur_feats, keys, cam, cfg, frontend, fparams,
+                image_shape) -> MonoPair:
+    return jax.vmap(
+        lambda p, c, k: _mono_pair(
+            p, c, k, cam, cfg, frontend, fparams, image_shape
+        )
+    )(prev_feats, cur_feats, keys)
+
+
+def run_mono_vo_batched(
+    images: jax.Array,
+    cam: PinholeCamera,
+    cfg: MonoConfig,
+    key: jax.Array,
+    frontend: FrontendFns,
+    fparams,
+    frame_chunk: int = 32,
+    pair_chunk: int = 64,
+) -> MonoStepOut:
+    """Frame-parallel mono VO; same outputs as run_mono_vo_scan."""
+    from forest_slam_tpu.core.lie import se3_chain
+
+    n = int(images.shape[0])
+    n_pairs = n - 1
+    image_shape = tuple(images.shape[1:])
+
+    chunks = []
+    for s in range(0, n, frame_chunk):
+        chunk = _tree_slice_pad(images, s, frame_chunk)
+        chunks.append(_mono_extract_chunk(chunk, frontend, fparams))
+    feats = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n], *chunks)
+
+    keys = jax.random.split(key, n_pairs)
+    prev_all = jax.tree.map(lambda a: a[: n - 1], feats)
+    cur_all = jax.tree.map(lambda a: a[1:], feats)
+    outs = []
+    for s in range(0, n_pairs, pair_chunk):
+        p = _tree_slice_pad(prev_all, s, pair_chunk)
+        c = _tree_slice_pad(cur_all, s, pair_chunk)
+        k = _tree_slice_pad(keys, s, pair_chunk)
+        outs.append(_mono_pairs(p, c, k, cam, cfg, frontend, fparams, image_shape))
+    pairs = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_pairs], *outs)
+
+    cums = se3_chain(pairs.rel)
+    return MonoStepOut(
+        pose=cums,
+        n_matches=pairs.n_matches,
+        n_inliers=pairs.n_inliers,
+        ok=pairs.ok,
+    )
+
+
 def run_mono_vo(
     images,
     timestamps,
@@ -134,17 +237,24 @@ def run_mono_vo(
     seed: int = 0,
     frontend: FrontendFns | None = None,
     fparams=None,
+    mode: str = "batched",
 ) -> tuple[Trajectory, MonoStepOut]:
     """Host entry point: run VO and return a TUM trajectory (frames 1..N-1,
     like the reference, which appends poses once a previous frame exists,
     mono_slam.py:98,138). Default front-end is ORB; pass
-    ``frontend=learned_frontend(fe), fparams=weights`` for SP+SG."""
+    ``frontend=learned_frontend(fe), fparams=weights`` for SP+SG.
+    ``mode``: "batched" (frame-parallel) or "scan" (sequential)."""
     if frontend is None:
         frontend = orb_frontend(cfg.orb, cfg.max_match_distance)
     images = jnp.asarray(images, jnp.float32)
-    outs = run_mono_vo_scan(
-        images, cam, cfg, jax.random.PRNGKey(seed), frontend, fparams
-    )
+    if mode == "batched":
+        outs = run_mono_vo_batched(
+            images, cam, cfg, jax.random.PRNGKey(seed), frontend, fparams
+        )
+    else:
+        outs = run_mono_vo_scan(
+            images, cam, cfg, jax.random.PRNGKey(seed), frontend, fparams
+        )
     poses = np.asarray(outs.pose, np.float64)
     traj = Trajectory.from_matrices(np.asarray(timestamps)[1:], poses)
     return traj, outs

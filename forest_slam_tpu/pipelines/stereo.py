@@ -121,6 +121,7 @@ class PairVO(NamedTuple):
     n_inliers: jax.Array  # () int32
     pts3d: jax.Array  # (K, 3) prev-frame camera-frame points
     valid: jax.Array  # (K,) PnP input validity (match & depth gates)
+    matches: jax.Array  # (K,) int32 prev kpt -> cur kpt index or -1
 
 
 def _match_and_pnp(
@@ -174,6 +175,7 @@ def _match_and_pnp(
         n_inliers=pnp.n_inliers,
         pts3d=pts3d,
         valid=valid,
+        matches=matches,
     )
 
 
@@ -341,20 +343,25 @@ def _extract_chunk(images_l, images_r, rig, cfg, frontend, fparams):
     )(images_l, images_r)
 
 
+def _pair_from_slab(pf, pz, pok, cf, key, rig, cfg, frontend, fparams,
+                    image_shape) -> PairVO:
+    """One pair's VO from per-keypoint slab entries (shared by the chunked
+    and pure-device runners)."""
+    pts3d = backproject_depth(pf.xy, pz, rig.left)
+    depth_ok = pok & (pz > cfg.min_depth) & (pz < cfg.max_depth)
+    return _match_and_pnp(
+        pf, pts3d, depth_ok, cf, key, rig, cfg, frontend, fparams, image_shape
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 7))
 def _pair_chunk(prev_slab, cur_feats, keys, rig, cfg, frontend, fparams,
                 image_shape) -> PairVO:
-    def one(pf, pz, pok, cf, key):
-        pts3d = backproject_depth(pf.xy, pz, rig.left)
-        depth_ok = pok & (pz > cfg.min_depth) & (pz < cfg.max_depth)
-        return _match_and_pnp(
-            pf, pts3d, depth_ok, cf, key, rig, cfg, frontend, fparams,
-            image_shape,
+    return jax.vmap(
+        lambda pf, pz, pok, cf, key: _pair_from_slab(
+            pf, pz, pok, cf, key, rig, cfg, frontend, fparams, image_shape
         )
-
-    return jax.vmap(one)(
-        prev_slab.feats, prev_slab.z, prev_slab.z_ok, cur_feats, keys
-    )
+    )(prev_slab.feats, prev_slab.z, prev_slab.z_ok, cur_feats, keys)
 
 
 def _tree_slice_pad(tree, start: int, size: int):
@@ -402,7 +409,8 @@ def run_stereo_vo_batched(
     frame_chunk: int = 32,
     pair_chunk: int = 64,
     frame_indices=None,
-) -> StereoStepOut:
+    return_artifacts: bool = False,
+):
     """Frame-parallel stereo VO over (N, H, W) stacks; same outputs as
     :func:`run_stereo_vo_scan` (frames 1..N-1).
 
@@ -450,7 +458,107 @@ def run_stereo_vo_batched(
         )
     pairs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pair_outs)
 
-    return _chain_and_map(pairs, jnp.eye(4), n_pairs)
+    outs = _chain_and_map(pairs, jnp.eye(4), n_pairs)
+    if not return_artifacts:
+        return outs
+    from forest_slam_tpu.backend.window import StereoArtifacts
+
+    artifacts = StereoArtifacts(
+        xy=slab.feats.xy,
+        valid=slab.feats.valid,
+        z=slab.z,
+        z_ok=slab.z_ok,
+        matches=pairs.matches[:n_pairs],
+        feats=slab.feats,
+    )
+    return outs, artifacts
+
+
+def run_stereo_vo_streaming(
+    images_l,
+    images_r,
+    timestamps,
+    rig: StereoRig,
+    cfg: StereoConfig,
+    out_path: str,
+    seed: int = 0,
+    frontend: FrontendFns | None = None,
+    fparams=None,
+    chunk: int = 64,
+) -> tuple[Trajectory, StereoStepOut]:
+    """Crash-safe streaming VO: the sequential scan runner advances one
+    ``chunk`` of frames at a time and the trajectory rows land in
+    ``out_path`` (flushed + fsynced) after every chunk — a crash loses at
+    most the current chunk, unlike the reference's end-of-run save
+    (stereo_slam.py:352-360, SURVEY.md §5 checkpoint/resume row).
+    """
+    from forest_slam_tpu.io.tum import StreamingTumWriter
+
+    if frontend is None:
+        frontend = orb_frontend(cfg.orb, cfg.max_match_distance)
+    images_l = jnp.asarray(images_l, jnp.float32)
+    images_r = jnp.asarray(images_r, jnp.float32)
+    n = int(images_l.shape[0])
+    ts = np.asarray(timestamps)
+    state = stereo_vo_init(
+        images_l[0], images_r[0], rig, cfg, jax.random.PRNGKey(seed),
+        frontend, fparams,
+    )
+    outs_list = []
+    with StreamingTumWriter(out_path) as writer:
+        for s in range(1, n, chunk):
+            take = min(chunk, n - s)
+            cl = _tree_slice_pad(images_l, s, chunk)
+            cr = _tree_slice_pad(images_r, s, chunk)
+            # only the final chunk is padded (edge-repeat) and nothing
+            # consumes the state afterwards, so the pad frames are inert
+            state, outs = run_stereo_vo_chunk(
+                state, cl, cr, rig, cfg, frontend, fparams
+            )
+            outs = jax.tree.map(lambda a: a[:take], outs)
+            writer.append(ts[s : s + take], np.asarray(outs.pose, np.float64))
+            outs_list.append(jax.tree.map(np.asarray, outs))
+    outs = jax.tree.map(lambda *xs: np.concatenate(xs), *outs_list)
+    traj = Trajectory.from_matrices(ts[1:], np.asarray(outs.pose, np.float64))
+    return traj, outs
+
+
+def run_stereo_vo_device(
+    images_l: jax.Array,
+    images_r: jax.Array,
+    rig: StereoRig,
+    cfg: StereoConfig,
+    key: jax.Array,
+    frontend: FrontendFns,
+    fparams,
+    frame_batch: int = 8,
+    pair_batch: int = 8,
+) -> StereoStepOut:
+    """Pure jittable whole-sequence VO — the batched runner's three phases
+    with ``lax.map(batch_size=...)`` standing in for the host chunk loops,
+    so the whole thing can live inside jit / vmap / shard_map (used by the
+    sharded multi-sequence evaluator, pipelines/batch_eval.py)."""
+    n = images_l.shape[0]
+    image_shape = images_l.shape[1:]
+    feats, z, z_ok = jax.lax.map(
+        lambda ab: _frame_features(ab[0], ab[1], rig, cfg, frontend, fparams),
+        (images_l, images_r),
+        batch_size=frame_batch,
+    )
+    slab = _FrameSlab(feats, z, z_ok)
+    prev = jax.tree.map(lambda a: a[:-1], slab)
+    cur = jax.tree.map(lambda a: a[1:], feats)
+    keys = jax.random.split(key, n - 1)
+
+    def pair_fn(x):
+        p, c, k = x
+        return _pair_from_slab(
+            p.feats, p.z, p.z_ok, c, k, rig, cfg, frontend, fparams,
+            image_shape,
+        )
+
+    pairs = jax.lax.map(pair_fn, (prev, cur, keys), batch_size=pair_batch)
+    return _chain_and_map(pairs, jnp.eye(4), n - 1)
 
 
 def run_stereo_vo(
@@ -463,19 +571,35 @@ def run_stereo_vo(
     frontend: FrontendFns | None = None,
     fparams=None,
     mode: str = "batched",
+    ba=None,
 ) -> tuple[Trajectory, StereoStepOut]:
     """Host entry point: trajectory (frames 1..N-1) + per-frame outputs.
     Default front-end is ORB; pass ``frontend=learned_frontend(fe),
     fparams=weights`` for SP+SG. ``mode``: "batched" (frame-parallel,
-    fast) or "scan" (sequential, streaming)."""
+    fast) or "scan" (sequential, streaming). ``ba``: a
+    backend.window.WindowBAConfig to refine the trajectory with
+    sliding-window bundle adjustment (forces batched mode)."""
     if frontend is None:
         frontend = orb_frontend(cfg.orb, cfg.max_match_distance)
     images_l = jnp.asarray(images_l, jnp.float32)
     images_r = jnp.asarray(images_r, jnp.float32)
-    runner = run_stereo_vo_batched if mode == "batched" else run_stereo_vo_scan
-    outs = runner(
-        images_l, images_r, rig, cfg, jax.random.PRNGKey(seed), frontend, fparams
-    )
+    if ba is not None:
+        from forest_slam_tpu.backend.window import refine_trajectory_ba
+
+        outs, art = run_stereo_vo_batched(
+            images_l, images_r, rig, cfg, jax.random.PRNGKey(seed),
+            frontend, fparams, return_artifacts=True,
+        )
+        refined = refine_trajectory_ba(outs.pose, art, rig.left, ba)
+        outs = outs._replace(pose=refined)
+    else:
+        runner = (
+            run_stereo_vo_batched if mode == "batched" else run_stereo_vo_scan
+        )
+        outs = runner(
+            images_l, images_r, rig, cfg, jax.random.PRNGKey(seed),
+            frontend, fparams,
+        )
     poses = np.asarray(outs.pose, np.float64)
     traj = Trajectory.from_matrices(np.asarray(timestamps)[1:], poses)
     return traj, outs

@@ -60,25 +60,45 @@ def sparse_disparity_at_keypoints(
     yi = xy[:, 1].astype(jnp.int32)
     K = xi.shape[0]
 
-    dy = jnp.arange(-r, r + 1)
-    dx = jnp.arange(-r, r + 1)
-    # left anchor patches: (K, w, w)
-    ly = jnp.clip(yi[:, None, None] + dy[None, :, None], 0, H - 1)
-    lx = jnp.clip(xi[:, None, None] + dx[None, None, :], 0, W - 1)
-    patch_l = pl[ly, lx]
+    # left anchor patches: (K, w, w) via dynamic_slice from a padded image
+    # (border keypoints read zero-padding; they are masked invalid below)
+    pl_pad = jnp.pad(pl, r)
 
-    # right candidates: (K, D, w, w) at x - d
+    def one_patch(x, y):
+        return jax.lax.dynamic_slice(pl_pad, (y, x), (w, w))
+
+    patch_l = jax.vmap(one_patch)(xi, yi)
+
+    # Right candidates, TPU-first: instead of gathering (K, D, w, w)
+    # scattered patches (K*D*w*w random HBM touches — measured 84 ms/frame
+    # at 960x600), slice ONE contiguous row-strip per keypoint covering all
+    # D candidate windows (dynamic_slice from a pre-padded image — ~3x
+    # faster than advanced-indexing gathers on TPU), then expand the D
+    # sliding windows on-chip with conv_general_dilated_patches.
+    S = D + w - 1  # strip width covers x - (D-1) - r .. x + r
     ds = jnp.arange(D)
-    rx = xi[:, None, None, None] - ds[None, :, None, None] + dx[None, None, None, :]
-    rx_clipped = jnp.clip(rx, 0, W - 1)
-    ry = jnp.clip(
-        yi[:, None, None, None] + dy[None, None, :, None], 0, H - 1
-    )
-    patch_r = pr[ry, rx_clipped]
+    # pad so the strip start is (yi, xi) in padded coords, never clamped;
+    # zero-padded entries only appear at rows/disparities the validity and
+    # in_range masks already exclude
+    pr_pad = jnp.pad(pr, ((r, r), (D - 1 + r, r)))
 
-    cost = jnp.sum(
-        jnp.abs(patch_l[:, None, :, :] - patch_r), axis=(2, 3)
-    )  # (K, D)
+    def one_strip(x, y):
+        return jax.lax.dynamic_slice(pr_pad, (y, x), (w, S))
+
+    strip = jax.vmap(one_strip)(xi, yi)  # (K, w, S)
+
+    # windows[k, :, j] = strip[k, :, j:j+w] flattened; candidate disparity d
+    # corresponds to window offset j = D - 1 - d
+    windows = jax.lax.conv_general_dilated_patches(
+        strip[:, None, :, :],  # (K, 1, w, S)
+        filter_shape=(w, w),
+        window_strides=(1, 1),
+        padding="VALID",
+    )  # (K, w*w, 1, D)
+    windows = windows[:, :, 0, :]  # (K, w*w, D)
+    flat_l = patch_l.reshape(K, w * w, 1)
+    cost_j = jnp.sum(jnp.abs(flat_l - windows), axis=1)  # (K, D) over j
+    cost = cost_j[:, ::-1]  # j = D-1-d  ->  index by d
     max_cost = 2.0 * cfg.prefilter_cap * w * w
     in_range = (xi[:, None] - ds[None, :]) >= r
     cost = jnp.where(in_range, cost, max_cost)

@@ -133,14 +133,44 @@ def loss_fn(params, batch: TrainingBatch, cfg: TrainConfig):
     }
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def train_step(state: TrainState, batch: TrainingBatch, cfg: TrainConfig):
+def _train_step_raw(state: TrainState, batch: TrainingBatch, cfg: TrainConfig):
     grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params, batch, cfg)
     updates, opt_state = _make_optimizer(cfg).update(
         grads, state.opt_state, state.params
     )
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), metrics
+
+
+train_step = functools.partial(jax.jit, static_argnums=(2,))(_train_step_raw)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def train_steps_scan(
+    state: TrainState, key: jax.Array, cfg: TrainConfig, n_steps: int
+):
+    """Run ``n_steps`` train steps in ONE dispatch (batch generation
+    on-device inside a lax.scan). Per-step host dispatch dominates wall
+    clock on a tunneled TPU (axon), so the outer loop should call this
+    with a few hundred steps at a time. Returns (state, next_key, metrics
+    of the last step)."""
+
+    def body(carry, _):
+        st, k = carry
+        k, bk = jax.random.split(k)
+        batch = make_training_batch(
+            bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
+        )
+        st, metrics = _train_step_raw(st, batch, cfg)
+        return (st, k), None
+
+    (state, key), _ = jax.lax.scan(body, (state, key), None, length=n_steps - 1)
+    key, bk = jax.random.split(key)
+    batch = make_training_batch(
+        bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
+    )
+    state, metrics = _train_step_raw(state, batch, cfg)
+    return state, key, metrics
 
 
 def make_sharded_train_step(mesh, state: TrainState, cfg: TrainConfig):
@@ -182,19 +212,18 @@ def train(
     log_every: int = 50,
     state: TrainState | None = None,
 ):
-    """Simple single-host training loop (batches generated on device)."""
+    """Simple single-host training loop. Steps run in ``log_every``-sized
+    scanned chunks (one device dispatch each, see train_steps_scan)."""
     key = jax.random.PRNGKey(seed)
     if state is None:
         key, init_key = jax.random.split(key)
         state = create_train_state(init_key, cfg)
     history = []
-    for i in range(n_steps):
-        key, bk = jax.random.split(key)
-        batch = make_training_batch(
-            bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
-        )
-        state, metrics = train_step(state, batch, cfg)
-        if i % log_every == 0 or i == n_steps - 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            history.append((i, m))
+    done = 0
+    while done < n_steps:
+        chunk = min(log_every, n_steps - done)
+        state, key, metrics = train_steps_scan(state, key, cfg, chunk)
+        done += chunk
+        m = {k: float(v) for k, v in metrics.items()}
+        history.append((done - 1, m))
     return state, history
