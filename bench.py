@@ -169,8 +169,18 @@ def main() -> None:
             )
         )
         fparams = load_pretrained(fe, (H, W))
-        frontend = learned_frontend(fe)
-    else:
+        # sanity gate: a learned front-end that cannot match two adjacent
+        # frames would produce a meaningless headline number — fall back
+        # to ORB rather than "benchmark" a non-tracking pipeline
+        pm = fe.match_pair(fparams, images_l[0], images_l[1])
+        n_m = int(np.asarray(pm.matches0 >= 0).sum())
+        log(f"# sp sanity: {n_m} matches on adjacent frames")
+        if n_m < 50:
+            log("# sp front-end not tracking; falling back to orb")
+            args.frontend = "orb"
+        else:
+            frontend = learned_frontend(fe)
+    if args.frontend == "orb":
         frontend = orb_frontend(cfg.orb, cfg.max_match_distance)
         fparams = None
 

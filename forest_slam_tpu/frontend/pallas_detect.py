@@ -119,9 +119,9 @@ def _harris(tile: jax.Array, block_size: int, k: float) -> jax.Array:
 
 
 def _detect_kernel(
-    img_ref,  # (Hp + 2*HALO, Wp + 256) f32 in ANY/HBM, data at [HALO, 128]
-    vals_ref,  # (TILE/8, Wp/8) f32 block
-    idx_ref,  # (TILE/8, Wp/8) i32 block
+    img_ref,  # (B, Hp + 2*HALO, Wp + 256) f32 in ANY/HBM, data at [HALO, 128]
+    vals_ref,  # (1, TILE/8, Wp) f32 block
+    idx_ref,  # (1, TILE/8, Wp) i32 block
     scratch,  # (TILE + 2*HALO, Wp + 256) VMEM
     sem,
     *,
@@ -134,10 +134,11 @@ def _detect_kernel(
     harris_k: float,
     margin: int,
 ):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     row0 = i * tile_h  # top output row, in unpadded coords
     dma = pltpu.make_async_copy(
-        img_ref.at[pl.ds(row0, tile_h + 2 * _HALO), :], scratch, sem
+        img_ref.at[b, pl.ds(row0, tile_h + 2 * _HALO), :], scratch, sem
     )
     dma.start()
     dma.wait()
@@ -172,55 +173,52 @@ def _detect_kernel(
             nbr = jnp.maximum(nbr, ranked[dy : dy + tile_h, dx : dx + Wp])
     kept = jnp.where(ranked[1:-1, 1:-1] >= nbr, ranked[1:-1, 1:-1], neg)
 
-    # per 8x8-cell max + argmax, via strided slices (no VMEM transposes)
-    nc_y, nc_x = tile_h // _CELL, Wp // _CELL
-    cmax = jnp.full((nc_y, nc_x), neg, jnp.float32)
-    wy = jnp.zeros((nc_y, nc_x), jnp.int32)
-    wx = jnp.zeros((nc_y, nc_x), jnp.int32)
-    for dy in range(_CELL):
-        for dx in range(_CELL):
-            v = kept[dy::_CELL, dx::_CELL]
-            better = v > cmax
-            cmax = jnp.where(better, v, cmax)
-            wy = jnp.where(better, dy, wy)
-            wx = jnp.where(better, dx, wx)
-    gy = (jax.lax.broadcasted_iota(jnp.int32, cmax.shape, 0) * _CELL
-          + row0 + wy)
-    gx = jax.lax.broadcasted_iota(jnp.int32, cmax.shape, 1) * _CELL + wx
-    vals_ref[:] = cmax
+    # row-pool within each 8-row band (sublane-dim reshape + elementwise
+    # compare chain — Mosaic rejects strided/gather-style cell slicing; the
+    # cheap per-column->per-cell pooling happens outside in XLA on the
+    # 8x-smaller maps)
+    nc_y = tile_h // _CELL
+    k3 = kept.reshape(nc_y, _CELL, Wp)
+    rowmax = k3[:, 0, :]
+    rowarg = jnp.zeros((nc_y, Wp), jnp.int32)
+    for r in range(1, _CELL):
+        v = k3[:, r, :]
+        better = v > rowmax
+        rowmax = jnp.where(better, v, rowmax)
+        rowarg = jnp.where(better, r, rowarg)
+    gy = (jax.lax.broadcasted_iota(jnp.int32, rowmax.shape, 0) * _CELL
+          + row0 + rowarg)
+    gx = jax.lax.broadcasted_iota(jnp.int32, rowmax.shape, 1)
+    vals_ref[:] = rowmax
     idx_ref[:] = gy * Wp + gx
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "threshold", "harris_block", "harris_k", "margin", "interpret"
-    ),
-)
-def detect_pooled(
-    image: jax.Array,
+def detect_pooled_batched(
+    images: jax.Array,
     threshold: float = 20.0,
     harris_block: int = 7,
     harris_k: float = 0.04,
     margin: int = 16,
     interpret: bool = False,
 ):
-    """Fused detection: (H, W) image -> per-8x8-cell (scores, flat indices).
+    """Fused detection over a (B, H, W) stack -> per-8x8-cell
+    ((B, Hp/8, Wp/8) f32 scores with -inf for empty cells,
+    (B, Hp/8, Wp/8) i32 flat indices y * Wp + x).
 
-    Returns ((Hp/8, Wp/8) f32 cell scores with -inf for empty cells,
-    (Hp/8, Wp/8) i32 flat indices y * Wp + x, and Wp) — feed to top_k for
-    keypoint selection.
-    """
-    H, W = image.shape
-    tile_h = 32
+    The batch is a leading grid dimension (pallas can't block an
+    ANY-memory-space operand under vmap, so batching is explicit here and
+    ``detect_pooled`` routes vmap to this function)."""
+    B, H, W = images.shape
+    # tile_h/8 is the output block's second-to-last dim — Mosaic requires
+    # it divisible by 8, so the row tile must be 64
+    tile_h = 64
     Hp = _round_up(H, tile_h)
     Wp = _round_up(W, 128)
-    padded = jnp.zeros((Hp + 2 * _HALO, Wp + 256), jnp.float32)
+    padded = jnp.zeros((B, Hp + 2 * _HALO, Wp + 256), jnp.float32)
     padded = padded.at[
-        _HALO : _HALO + H, 128 : 128 + W
-    ].set(image.astype(jnp.float32))
+        :, _HALO : _HALO + H, 128 : 128 + W
+    ].set(images.astype(jnp.float32))
 
-    grid = Hp // tile_h
     kernel = functools.partial(
         _detect_kernel,
         tile_h=tile_h,
@@ -232,30 +230,74 @@ def detect_pooled(
         harris_k=harris_k,
         margin=margin,
     )
-    vals, idx = pl.pallas_call(
+    out_spec = pl.BlockSpec(
+        (None, tile_h // _CELL, Wp),
+        lambda b, i: (b, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rvals, ridx = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(B, Hp // tile_h),
         out_shape=(
-            jax.ShapeDtypeStruct((Hp // _CELL, Wp // _CELL), jnp.float32),
-            jax.ShapeDtypeStruct((Hp // _CELL, Wp // _CELL), jnp.int32),
+            jax.ShapeDtypeStruct((B, Hp // _CELL, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hp // _CELL, Wp), jnp.int32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(
-            pl.BlockSpec(
-                (tile_h // _CELL, Wp // _CELL),
-                lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_h // _CELL, Wp // _CELL),
-                lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
+        out_specs=(out_spec, out_spec),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * _HALO, Wp + 256), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(padded)
-    return vals, idx, Wp
+    # finish the pooling over columns in XLA on the 8x-reduced maps
+    nc_y, nc_x = Hp // _CELL, Wp // _CELL
+    rv = rvals.reshape(B, nc_y, nc_x, _CELL)
+    ri = ridx.reshape(B, nc_y, nc_x, _CELL)
+    sel = jnp.argmax(rv, axis=-1)
+    vals = jnp.take_along_axis(rv, sel[..., None], axis=-1)[..., 0]
+    idx = jnp.take_along_axis(ri, sel[..., None], axis=-1)[..., 0]
+    return vals, idx
+
+
+def _make_detect_pooled(threshold, harris_block, harris_k, margin, interpret):
+    @jax.custom_batching.custom_vmap
+    def f(image):
+        vals, idx = detect_pooled_batched(
+            image[None], threshold, harris_block, harris_k, margin, interpret
+        )
+        return vals[0], idx[0]
+
+    @f.def_vmap
+    def f_vmap(axis_size, in_batched, images):
+        del axis_size, in_batched
+        vals, idx = detect_pooled_batched(
+            images, threshold, harris_block, harris_k, margin, interpret
+        )
+        return (vals, idx), (True, True)
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _detect_pooled_cached(threshold, harris_block, harris_k, margin, interpret):
+    return _make_detect_pooled(threshold, harris_block, harris_k, margin, interpret)
+
+
+def detect_pooled(
+    image: jax.Array,
+    threshold: float = 20.0,
+    harris_block: int = 7,
+    harris_k: float = 0.04,
+    margin: int = 16,
+    interpret: bool = False,
+):
+    """Fused detection: (H, W) image -> per-8x8-cell (scores, flat indices,
+    Wp). vmap-compatible (dispatches to detect_pooled_batched)."""
+    W = image.shape[-1]
+    f = _detect_pooled_cached(
+        float(threshold), int(harris_block), float(harris_k), int(margin),
+        bool(interpret),
+    )
+    vals, idx = f(image)
+    return vals, idx, _round_up(W, 128)

@@ -30,14 +30,27 @@ def save_params(params, path: str = DEFAULT_PATH) -> None:
 
 
 def load_pretrained(fe, image_shape, path: str = DEFAULT_PATH, seed: int = 0):
-    """Load checkpoint into the template produced by ``fe.init``."""
+    """Load checkpoint into the template produced by ``fe.init``.
+
+    Training checkpoints (train/trainer.py) store the bare ``SuperPointNet``
+    parameters, while the inference wrapper nests them as
+    ``SuperPoint(name='net')`` — the layouts are adapted transparently.
+    """
     template = fe.init(jax.random.PRNGKey(seed), image_shape)
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            return serialization.from_bytes(template, f.read())
-    print(
-        f"# warning: no learned-frontend checkpoint at {path}; "
-        "using random init",
-        file=sys.stderr,
-    )
-    return template
+    if not os.path.exists(path):
+        print(
+            f"# warning: no learned-frontend checkpoint at {path}; "
+            "using random init",
+            file=sys.stderr,
+        )
+        return template
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        return serialization.from_bytes(template, raw)
+    except ValueError:
+        state = serialization.msgpack_restore(raw)
+        sp = state.get("superpoint", {})
+        if isinstance(sp, dict) and "params" in sp and "net" not in sp["params"]:
+            state["superpoint"] = {"params": {"net": sp["params"]}}
+        return serialization.from_state_dict(template, state)

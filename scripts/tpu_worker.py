@@ -48,18 +48,18 @@ def main(queue_dir: str) -> None:
             continue
         job = jobs[0]
         path = os.path.join(queue_dir, job)
-        buf = io.StringIO()
         t0 = time.time()
         status = "ok"
-        try:
-            with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
-                code = compile(open(path).read(), path, "exec")
-                exec(code, shared)
-        except Exception:
-            status = "error"
-            buf.write(traceback.format_exc())
-        with open(path + ".out", "w") as f:
-            f.write(buf.getvalue())
+        # stream output to the .out file as the job runs (line-buffered) so
+        # long jobs can be monitored from outside
+        with open(path + ".out", "w", buffering=1) as out:
+            try:
+                with contextlib.redirect_stdout(out), contextlib.redirect_stderr(out):
+                    code = compile(open(path).read(), path, "exec")
+                    exec(code, shared)
+            except Exception:
+                status = "error"
+                out.write(traceback.format_exc())
         with open(path + ".done", "w") as f:
             f.write(f"{status} {time.time()-t0:.1f}s\n")
         print(f"{job}: {status} in {time.time()-t0:.1f}s", flush=True)
