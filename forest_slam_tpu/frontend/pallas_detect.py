@@ -46,29 +46,28 @@ def _fast_score(tile: jax.Array, threshold: float) -> jax.Array:
 
     ``tile`` must have >= 3 rows/cols of context around the region.
     Identical math to fast.py:fast_score_map (16 ring diffs, best
-    min-over-9-contiguous arc, bright/dark, threshold)."""
+    min-over-9-contiguous arc, bright/dark, threshold), but the windowed
+    reductions use a shared log-tree (min9 via min1->min2->min4->min8) —
+    ~3x fewer ops and live temporaries than the naive 16x8 chains, which
+    also keeps the Mosaic program small."""
     Ht, Wt = tile.shape
     Hc, Wc = Ht - 6, Wt - 6
     center = tile[3 : 3 + Hc, 3 : 3 + Wc]
     diffs = []
     for dy, dx in FAST_OFFSETS:
         diffs.append(tile[3 + dy : 3 + dy + Hc, 3 + dx : 3 + dx + Wc] - center)
-    d24 = diffs + diffs[:8]
+    d = diffs + diffs[:8]  # 24 circular entries
 
-    def arc_scores(ds):
-        mins = []
-        for s in range(16):
-            m = ds[s]
-            for k in range(1, 9):
-                m = jnp.minimum(m, ds[s + k])
-            mins.append(m)
-        out = mins[0]
-        for m in mins[1:]:
-            out = jnp.maximum(out, m)
-        return out
+    def windowed9(vals, op):
+        m2 = [op(vals[s], vals[s + 1]) for s in range(len(vals) - 1)]
+        m4 = [op(m2[s], m2[s + 2]) for s in range(len(m2) - 2)]
+        m8 = [op(m4[s], m4[s + 4]) for s in range(len(m4) - 4)]
+        return [op(m8[s], vals[s + 8]) for s in range(16)]
 
-    bright = arc_scores(d24)
-    dark = arc_scores([-d for d in d24])
+    mins = windowed9(d, jnp.minimum)  # bright arc: min over the window
+    maxs = windowed9(d, jnp.maximum)  # dark arc: min over -d = -max over d
+    bright = functools.reduce(jnp.maximum, mins)
+    dark = -functools.reduce(jnp.minimum, maxs)
     score = jnp.maximum(bright, dark)
     return jnp.where(score > threshold, score, 0.0)
 
@@ -123,6 +122,7 @@ def _detect_kernel(
     vals_ref,  # (1, TILE/8, Wp) f32 block
     idx_ref,  # (1, TILE/8, Wp) i32 block
     scratch,  # (TILE + 2*HALO, Wp + 256) VMEM
+    dref,  # (24, tile_h + 2, Wp + 2) VMEM — circular FAST ring diffs
     sem,
     *,
     tile_h: int,
@@ -150,7 +150,42 @@ def _detect_kernel(
     f_tile = scratch[
         _HALO - 5 : _HALO + tile_h + 5, co - 5 : co + Wp + 5
     ]
-    fast = _fast_score(f_tile[1:-1, 1:-1], threshold)  # (tile_h+2, Wp+2)
+    # FAST-9: the fully-unrolled arc min/max trees overflow the Mosaic
+    # compiler (tpu_compile_helper crashes above ~100 live vector temps), so
+    # the 24 circular ring diffs are materialized in VMEM and the windowed
+    # reductions run as ROLLED fori_loops with dynamic leading-dim indexing
+    # — a tiny program with the same arithmetic (frontend/fast.py parity).
+    s = f_tile[1:-1, 1:-1]
+    Hc, Wc = tile_h + 2, Wp + 2
+    center = s[3 : 3 + Hc, 3 : 3 + Wc]
+    for k, (dy, dx) in enumerate(FAST_OFFSETS):
+        d = s[3 + dy : 3 + dy + Hc, 3 + dx : 3 + dx + Wc] - center
+        dref[k] = d
+        if k < 8:  # circular continuation for windows wrapping past 15
+            dref[k + 16] = d
+    big = jnp.float32(3.4e38)
+
+    def arc_red(sidx, op, init):
+        return jax.lax.fori_loop(
+            0, 9, lambda k, acc: op(acc, dref[sidx + k]), init
+        )
+
+    bright = jax.lax.fori_loop(
+        0, 16,
+        lambda sx, best: jnp.maximum(
+            best, arc_red(sx, jnp.minimum, jnp.full((Hc, Wc), big))
+        ),
+        jnp.full((Hc, Wc), -big),
+    )
+    dark = -jax.lax.fori_loop(
+        0, 16,
+        lambda sx, best: jnp.minimum(
+            best, arc_red(sx, jnp.maximum, jnp.full((Hc, Wc), -big))
+        ),
+        jnp.full((Hc, Wc), big),
+    )
+    fast = jnp.maximum(bright, dark)
+    fast = jnp.where(fast > threshold, fast, 0.0)
     harris = _harris(f_tile, harris_block, harris_k)  # (tile_h+2, Wp+2)
 
     neg = jnp.float32(-jnp.inf)
@@ -246,6 +281,7 @@ def detect_pooled_batched(
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * _HALO, Wp + 256), jnp.float32),
+            pltpu.VMEM((24, tile_h + 2, Wp + 2), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -57,6 +57,10 @@ def main(queue_dir: str) -> None:
                 with contextlib.redirect_stdout(out), contextlib.redirect_stderr(out):
                     code = compile(open(path).read(), path, "exec")
                     exec(code, shared)
+            except SystemExit as e:  # scripts run via runpy may sys.exit()
+                if e.code not in (0, None):
+                    status = "error"
+                    out.write(f"SystemExit({e.code})\n")
             except Exception:
                 status = "error"
                 out.write(traceback.format_exc())

@@ -96,7 +96,9 @@ def test_rpe_global_scale_absorbed_local_drift_detected(rng):
 
     est_global = Trajectory(ts, pos * 1.1, quat)
     stats = rpe_distance_ratio(est_global, ref, delta_m=20.0)
-    assert stats.n >= 4
+    # evo's pair rule drops the first partial segment: 100 m / 20 m delta
+    # leaves 4 marks -> 3 consecutive pairs
+    assert stats.n >= 3
     assert stats.rmse < 1e-6  # fully absorbed by alignment
 
     # locally varying scale: first half 1.0x, second half 1.4x
