@@ -335,6 +335,8 @@ def cmd_train_frontend(args) -> int:
     cfg = TrainConfig(
         height=args.height, width=args.width, batch_size=args.batch,
         learning_rate=args.lr,
+        texture_fraction=args.texture_fraction,
+        corridor_fraction=args.corridor_fraction,
     )
     state, history = train(cfg, args.steps, seed=args.seed, log_every=args.log_every)
     for step, m in history:
@@ -400,6 +402,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--out", default=None)
+    p.add_argument("--texture-fraction", type=float, default=0.4)
+    p.add_argument(
+        "--corridor-fraction", type=float, default=0.3,
+        help="share of 3D-supervised corridor pairs (large-K robustness)",
+    )
     p.set_defaults(fn=cmd_train_frontend)
 
     args = ap.parse_args(argv)

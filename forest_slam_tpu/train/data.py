@@ -179,6 +179,108 @@ def random_texture_image(
     return img, xy, valid
 
 
+def corridor_pair(
+    key: jax.Array,
+    height: int,
+    width: int,
+    max_corners: int = 48,
+    min_forward: float = 0.15,
+    max_forward: float = 3.0,
+) -> "TrainingBatch":
+    """One 3D-supervised pair from the corridor renderer (io/synthetic.py).
+
+    Homography pairs cannot express the *depth-dependent* scale change of
+    forward motion — the dominant distortion between frames K steps apart in
+    the BotanicGarden-style clips (the reference's K-interval ablation,
+    BASELINE.md). This generator renders two views of a random corridor
+    separated by a random forward step of ``min_forward..max_forward``
+    metres (K=1..20 at the 0.15 m/frame walking pace), labels interest
+    points on view 0 with the repo's Harris teacher, and transfers them to
+    view 1 through the *true* depth + relative pose, with an occlusion
+    check against the rendered depth of view 1. Matching supervision then
+    covers exactly the viewpoint statistics large-K VO sees.
+    """
+    from forest_slam_tpu.core.camera import backproject_depth, project_points
+    from forest_slam_tpu.core.lie import so3_exp
+    from forest_slam_tpu.frontend.fast import harris_response, nms_topk
+    from forest_slam_tpu.io.synthetic import (
+        default_rig,
+        make_corridor_world,
+        render_view,
+    )
+
+    ks = jax.random.split(key, 8)
+    world = make_corridor_world(ks[0])
+    cam = default_rig(height, width).left
+
+    # view 0: random station in the corridor, mild attitude jitter
+    p0 = jnp.array([0.0, 0.0, 0.0]) + jax.random.uniform(
+        ks[1], (3,),
+        minval=jnp.array([-2.0, -0.4, 0.0]),
+        maxval=jnp.array([2.0, 0.4, 20.0]),
+    )
+    w0 = jax.random.uniform(
+        ks[2], (3,),
+        minval=jnp.array([-0.08, -0.3, -0.05]),
+        maxval=jnp.array([0.08, 0.3, 0.05]),
+    )
+    R0 = so3_exp(w0)
+    # view 1: forward step along the view-0 optical axis + small jitter
+    d = jax.random.uniform(ks[3], (), minval=min_forward, maxval=max_forward)
+    lat = jax.random.uniform(ks[4], (2,), minval=-0.15, maxval=0.15)
+    p1 = p0 + R0 @ jnp.stack([lat[0], lat[1], d])
+    w1 = jax.random.uniform(ks[5], (3,), minval=-0.06, maxval=0.06)
+    R1 = R0 @ so3_exp(w1)
+
+    T0 = jnp.eye(4).at[:3, :3].set(R0).at[:3, 3].set(p0)
+    T1 = jnp.eye(4).at[:3, :3].set(R1).at[:3, 3].set(p1)
+    img0, depth0 = render_view(world, T0, jnp.asarray(cam.K), height, width)
+    img1, depth1 = render_view(world, T1, jnp.asarray(cam.K), height, width)
+
+    # Harris-teacher interest points on view 0 (interior only)
+    score = harris_response(img0, 7)
+    ys = jnp.arange(height)[:, None]
+    xs = jnp.arange(width)[None, :]
+    interior = (ys >= 8) & (ys < height - 8) & (xs >= 8) & (xs < width - 8)
+    xy0, _, valid0 = nms_topk(jnp.where(interior, score, 0.0), max_corners)
+
+    xi = jnp.clip(xy0[:, 0].astype(jnp.int32), 0, width - 1)
+    yi = jnp.clip(xy0[:, 1].astype(jnp.int32), 0, height - 1)
+    z0 = depth0[yi, xi]
+    valid0 = valid0 & jnp.isfinite(z0) & (z0 > 0.1) & (z0 < 60.0)
+    z0 = jnp.where(valid0, z0, 1.0)
+
+    # transfer through true depth + relative pose
+    pts_cam0 = backproject_depth(xy0, z0, cam)
+    pts_world = pts_cam0 @ R0.T + p0
+    pts_cam1 = (pts_world - p1) @ R1
+    xy1 = project_points(pts_cam1, cam, with_distortion=False)
+    z1 = pts_cam1[:, 2]
+    in1 = (
+        (xy1[:, 0] >= 4) & (xy1[:, 0] < width - 4)
+        & (xy1[:, 1] >= 4) & (xy1[:, 1] < height - 4)
+        & (z1 > 0.05)
+    )
+    # occlusion: the rendered view-1 depth at the projected pixel must agree
+    x1i = jnp.clip(jnp.round(xy1[:, 0]).astype(jnp.int32), 0, width - 1)
+    y1i = jnp.clip(jnp.round(xy1[:, 1]).astype(jnp.int32), 0, height - 1)
+    z1_seen = depth1[y1i, x1i]
+    visible = jnp.abs(z1_seen - z1) < jnp.maximum(0.05, 0.03 * z1)
+    valid1 = valid0 & in1 & visible
+
+    k6, k7 = jax.random.split(ks[6])
+    noise0 = jax.random.normal(k6, img0.shape) * 2.0
+    noise1 = jax.random.normal(k7, img1.shape) * 2.0
+    return TrainingBatch(
+        image0=jnp.clip(img0 + noise0, 0, 255),
+        image1=jnp.clip(img1 + noise1, 0, 255),
+        corners0=xy0,
+        corners1=xy1,
+        valid0=valid0,
+        valid1=valid1,
+    )
+
+
 class TrainingBatch(NamedTuple):
     image0: jax.Array  # (B, H, W) [0, 255]
     image1: jax.Array  # (B, H, W)
@@ -196,14 +298,18 @@ def make_training_batch(
     width: int,
     max_corners: int = 48,
     texture_fraction: float = 0.5,
+    corridor_fraction: float = 0.0,
 ) -> TrainingBatch:
-    """Batched homography pairs with correspondence ground truth.
+    """Batched correspondence-labelled training pairs.
 
-    A ``texture_fraction`` share of the batch uses teacher-labelled natural
-    textures (see random_texture_image); the rest uses corner scenes with
-    exact geometric labels."""
+    Three sources: a ``corridor_fraction`` share of 3D-supervised corridor
+    pairs (true forward-motion scale change, see corridor_pair), a
+    ``texture_fraction`` share of teacher-labelled natural-texture
+    homography pairs (random_texture_image), and the rest corner scenes
+    with exact geometric labels."""
 
-    n_tex = int(round(batch * texture_fraction))
+    n_cor = int(round(batch * corridor_fraction))
+    n_tex = min(int(round(batch * texture_fraction)), batch - n_cor)
 
     def one(k, is_texture: bool):
         k1, k2, k3 = jax.random.split(k, 3)
@@ -234,10 +340,18 @@ def make_training_batch(
 
     keys = jax.random.split(key, batch)
     parts = []
+    if n_cor:
+        parts.append(
+            jax.vmap(
+                lambda k: corridor_pair(k, height, width, max_corners)
+            )(keys[:n_cor])
+        )
     if n_tex:
-        parts.append(jax.vmap(lambda k: one(k, True))(keys[:n_tex]))
-    if batch - n_tex:
-        parts.append(jax.vmap(lambda k: one(k, False))(keys[n_tex:]))
+        parts.append(
+            jax.vmap(lambda k: one(k, True))(keys[n_cor : n_cor + n_tex])
+        )
+    if batch - n_cor - n_tex:
+        parts.append(jax.vmap(lambda k: one(k, False))(keys[n_cor + n_tex :]))
     if len(parts) == 1:
         return parts[0]
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)

@@ -48,6 +48,8 @@ class TrainConfig(NamedTuple):
     w_detector: float = 1.0
     w_descriptor: float = 1.0
     w_matching: float = 0.5
+    texture_fraction: float = 0.5
+    corridor_fraction: float = 0.0  # 3D corridor pairs (large-K robustness)
 
 
 class TrainState(NamedTuple):
@@ -159,7 +161,8 @@ def train_steps_scan(
         st, k = carry
         k, bk = jax.random.split(k)
         batch = make_training_batch(
-            bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
+            bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners,
+            cfg.texture_fraction, cfg.corridor_fraction,
         )
         st, metrics = _train_step_raw(st, batch, cfg)
         return (st, k), None
@@ -167,7 +170,8 @@ def train_steps_scan(
     (state, key), _ = jax.lax.scan(body, (state, key), None, length=n_steps - 1)
     key, bk = jax.random.split(key)
     batch = make_training_batch(
-        bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
+        bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners,
+        cfg.texture_fraction, cfg.corridor_fraction,
     )
     state, metrics = _train_step_raw(state, batch, cfg)
     return state, key, metrics
@@ -192,7 +196,8 @@ def make_sharded_train_step(mesh, state: TrainState, cfg: TrainConfig):
 
     dummy_batch = jax.eval_shape(
         lambda k: make_training_batch(
-            k, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners
+            k, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners,
+            cfg.texture_fraction, cfg.corridor_fraction,
         ),
         jax.random.PRNGKey(0),
     )
