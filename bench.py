@@ -31,6 +31,7 @@ reported on stderr.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -123,8 +124,13 @@ def main() -> None:
     K = rig.left.K
     T_lr = rig.T_left_right
 
-    @jax.jit
-    def render_chunk(Ts):
+    # NOTE: world/K/T_lr are passed as ARGUMENTS, not closed over. A jitted
+    # function that closes over a concrete device array permanently drops
+    # this process's dispatch path out of the fast mode (~0.03 ms -> ~2 ms
+    # per dispatch on the tunneled TPU, measured) — every subsequent jit
+    # call in the process pays it.
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def render_chunk(world, Ts, K, T_lr, H, W):
         def frame(T):
             img_l, _ = render_view(world, T, K, H, W)
             img_r, _ = render_view(world, T @ T_lr, K, H, W)
@@ -140,7 +146,7 @@ def main() -> None:
             chunk = jnp.concatenate(
                 [chunk, jnp.tile(chunk[-1:], (rc - chunk.shape[0], 1, 1))]
             )
-        out = render_chunk(chunk)
+        out = render_chunk(world, chunk, K, T_lr, H, W)
         jax.block_until_ready(out)
         parts.append(out)
     images_l = jnp.concatenate([p[0] for p in parts])[:n_unique]
@@ -186,7 +192,7 @@ def main() -> None:
         # sanity gate: a learned front-end that cannot match two adjacent
         # frames would produce a meaningless headline number — fall back
         # to ORB rather than "benchmark" a non-tracking pipeline
-        pm = fe.match_pair(fparams, images_l[0], images_l[1])
+        pm = jax.jit(fe.match_pair)(fparams, images_l[0], images_l[1])
         n_m = int(np.asarray(pm.matches0 >= 0).sum())
         log(f"# sp sanity: {n_m} matches on adjacent frames")
         if n_m < 50:

@@ -47,10 +47,15 @@ def load_pretrained(fe, image_shape, path: str = DEFAULT_PATH, seed: int = 0):
     with open(path, "rb") as f:
         raw = f.read()
     try:
-        return serialization.from_bytes(template, raw)
+        params = serialization.from_bytes(template, raw)
     except ValueError:
         state = serialization.msgpack_restore(raw)
         sp = state.get("superpoint", {})
         if isinstance(sp, dict) and "params" in sp and "net" not in sp["params"]:
             state["superpoint"] = {"params": {"net": sp["params"]}}
-        return serialization.from_state_dict(template, state)
+        params = serialization.from_state_dict(template, state)
+    # msgpack restore yields HOST numpy leaves; left as-is, every jitted call
+    # re-uploads the full weight tree (on a tunneled TPU that is ~2 s per
+    # dispatch — measured 400x slowdown on the SuperGlue step). Commit the
+    # tree to the default device once.
+    return jax.device_put(params)

@@ -255,6 +255,19 @@ def default_rig(height: int, width: int, baseline: float = 0.25) -> StereoRig:
     return StereoRig(left=cam, right=cam, T_left_right=jnp.asarray(T))
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _render_sequence_stacks(world, Ts, K, T_lr, height: int, width: int):
+    # world/K/T_lr enter as ARGUMENTS: tracing a concrete device array into
+    # a closure permanently degrades the process's dispatch latency on the
+    # tunneled TPU (measured ~0.03 ms -> ~2 ms per dispatch; see bench.py)
+    def render_frame(T):
+        img_l, dep_l = render_view(world, T, K, height, width)
+        img_r, _ = render_view(world, T @ T_lr, K, height, width)
+        return img_l, img_r, dep_l
+
+    return jax.lax.map(render_frame, Ts)
+
+
 def render_sequence(
     n_frames: int,
     height: int = 120,
@@ -267,15 +280,9 @@ def render_sequence(
     world = make_corridor_world(jax.random.PRNGKey(seed))
     rig = default_rig(height, width)
     Ts = corridor_trajectory(n_frames, speed=speed)
-    K = rig.left.K
-    T_lr = rig.T_left_right
-
-    def render_frame(T):
-        img_l, dep_l = render_view(world, T, K, height, width)
-        img_r, _ = render_view(world, T @ T_lr, K, height, width)
-        return img_l, img_r, dep_l
-
-    imgs_l, imgs_r, deps_l = jax.lax.map(render_frame, Ts)
+    imgs_l, imgs_r, deps_l = _render_sequence_stacks(
+        world, jnp.asarray(Ts), rig.left.K, rig.T_left_right, height, width
+    )
     ts = 1.6e9 + np.arange(n_frames) * dt
     return SyntheticSequence(
         images_left=imgs_l,

@@ -1,0 +1,117 @@
+"""K-interval ablation on the synthetic corridor (acceptance harness).
+
+Reproduces the reference thesis's core experiment — stereo VO at keyframe
+interval K=1/10/20 (BASELINE.md "Keyframe-interval ablation",
+pose_estimation_results/1018_00/*_K{10,20}.txt) — on the in-repo synthetic
+corridor, for both front-ends. Used to judge learned-frontend checkpoints:
+the thesis headline is that SP+SG degrades gracefully with K while ORB+BF
+collapses; a retrained checkpoint is accepted when it tracks at K>=10 where
+the previous one lost.
+
+Usage: python scripts/eval_k_ablation.py [--height 600 --width 960]
+       [--frames 160] [--weights PATH] [--ks 1 10 20]
+Prints one line per (frontend, K): ok frames, ATE RMSE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--frames", type=int, default=160)
+    ap.add_argument("--per-k", type=int, default=16, help="frames used per K run")
+    ap.add_argument("--ks", type=int, nargs="+", default=[1, 10, 20])
+    ap.add_argument("--weights", type=str, default=None)
+    ap.add_argument("--frontends", nargs="+", default=["orb", "sp"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from forest_slam_tpu.eval import ape_translation
+    from forest_slam_tpu.frontend import OrbConfig
+    from forest_slam_tpu.frontend.base import learned_frontend, orb_frontend
+    from forest_slam_tpu.io.synthetic import render_sequence
+    from forest_slam_tpu.io.tum import Trajectory
+    from forest_slam_tpu.pipelines.stereo import (
+        StereoConfig,
+        run_stereo_vo_batched,
+    )
+
+    H, W = args.height, args.width
+    # one long 10 Hz walk; stride-K subsets share the compiled pipeline
+    seq = render_sequence(args.frames, height=H, width=W, speed=0.15)
+    rig = seq.rig
+    gt = np.asarray(seq.T_world_cam, np.float64)
+
+    cfg = StereoConfig(
+        orb=OrbConfig(n_features=512, n_levels=8),
+        n_hypotheses=1024,
+        compose_mode="odometry",
+    )
+
+    frontends = {}
+    if "orb" in args.frontends:
+        frontends["orb"] = (orb_frontend(cfg.orb, cfg.max_match_distance), None)
+    if "sp" in args.frontends:
+        from forest_slam_tpu.frontend.learned import (
+            LearnedFrontend,
+            LearnedFrontendConfig,
+        )
+        from forest_slam_tpu.frontend.superglue import SuperGlueConfig
+        from forest_slam_tpu.frontend.superpoint import SuperPointConfig
+        from forest_slam_tpu.frontend.weights import DEFAULT_PATH, load_pretrained
+
+        fe = LearnedFrontend(
+            LearnedFrontendConfig(
+                superpoint=SuperPointConfig(max_keypoints=1024),
+                superglue=SuperGlueConfig(sinkhorn_iterations=20),
+            )
+        )
+        fparams = load_pretrained(fe, (H, W), args.weights or DEFAULT_PATH)
+        frontends["sp"] = (learned_frontend(fe), fparams)
+
+    for name, (fn, fparams) in frontends.items():
+        for K in args.ks:
+            idx = np.arange(0, args.frames, K)[: args.per_k].astype(np.int32)
+            if len(idx) < 3:
+                continue
+            outs = run_stereo_vo_batched(
+                seq.images_left,
+                seq.images_right,
+                rig,
+                cfg,
+                jax.random.PRNGKey(0),
+                fn,
+                fparams,
+                frame_indices=idx,
+            )
+            n_ok = int(np.asarray(outs.ok).sum())
+            n = len(idx) - 1
+            ts = np.arange(len(idx)) * 0.1 * K
+            est = Trajectory.from_matrices(
+                ts[1:], np.asarray(outs.pose, np.float64)
+            )
+            ref = Trajectory.from_matrices(ts, gt[idx])
+            try:
+                stats = ape_translation(est, ref, align=True, with_scale=False)
+                ate = f"{stats.rmse:.3f} m"
+            except Exception:
+                ate = "n/a"
+            print(f"{name:4s} K={K:<3d} ok {n_ok}/{n}  ATE {ate}", flush=True)
+
+
+
+if __name__ == "__main__":
+    main()
