@@ -219,7 +219,14 @@ def main() -> None:
             pair_chunk=args.pair_chunk,
             frame_indices=frame_idx,
         )
-        jax.block_until_ready(outs.pose)
+        # jax.block_until_ready is a NO-OP on the tunneled axon platform
+        # (measured: a 75 s matmul chain "blocks" in 0 ms; only a host
+        # fetch waits for completion). Force real completion of every
+        # output branch with host fetches — without this the timed run
+        # measures dispatch, not compute.
+        np.asarray(outs.pose)
+        np.asarray(outs.ok)
+        float(jnp.sum(outs.map_points))
         return outs
 
     # ---- compile, then time ---------------------------------------------

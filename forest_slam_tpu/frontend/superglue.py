@@ -31,6 +31,18 @@ import flax.linen as nn
 NEG = -1e9
 
 
+def _flash_ok(cfg, K: int, S: int, dh: int) -> bool:
+    """Fused attention applies: explicitly requested + TPU + aligned shapes."""
+    if cfg.attention_impl != "flash":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and K % 128 == 0
+        and S % 128 == 0
+        and dh % 64 == 0
+    )
+
+
 class SuperGlueConfig(NamedTuple):
     descriptor_dim: int = 256
     keypoint_encoder_dims: tuple = (32, 64, 128, 256)
@@ -39,6 +51,13 @@ class SuperGlueConfig(NamedTuple):
     sinkhorn_iterations: int = 20  # stereo_slam.py:75
     match_threshold: float = 0.2  # stereo_slam.py:76
     dtype: type = jnp.bfloat16
+    # "xla" (default): dense einsum+softmax attention. "flash": the fused
+    # Pallas flash-attention kernel on TPU when shapes allow (K % 128 == 0).
+    # Measured on v5e at B=48, K=1024, h=4: xla 2.53 ms/pair, flash
+    # 5.55 ms/pair — at these sizes the (K, K) logits tile pipelines fine
+    # through HBM and the flash grid overhead dominates, so the dense path
+    # stays the default; flash is kept for longer keypoint sets.
+    attention_impl: str = "xla"
 
 
 class MatchResult(NamedTuple):
@@ -86,11 +105,35 @@ class Attention(nn.Module):
         q = q.reshape(B, K, h, dh)
         k = k.reshape(B, S, h, dh)
         v = v.reshape(B, S, h, dh)
-        logits = jnp.einsum("bkhd,bshd->bhks", q, k).astype(jnp.float32)
-        logits = logits / (dh ** 0.5)
-        logits = logits + jnp.where(source_mask[:, None, None, :], 0.0, NEG)
-        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
-        msg = jnp.einsum("bhks,bshd->bkhd", attn, v)
+        if _flash_ok(cfg, K, S, dh):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            # invalid source slots are masked via segment ids (q segment 1
+            # vs kv segment 0) — same semantics as the additive NEG mask:
+            # every query attends over the valid sources only
+            seg = SegmentIds(
+                q=jnp.ones((B, K), jnp.int32),
+                kv=source_mask.astype(jnp.int32),
+            )
+            msg = flash_attention(
+                q.transpose(0, 2, 1, 3),  # (B, h, K, dh)
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=seg,
+                sm_scale=1.0 / dh ** 0.5,
+            ).transpose(0, 2, 1, 3)
+            msg = msg.astype(dt)
+        else:
+            logits = jnp.einsum("bkhd,bshd->bhks", q, k).astype(jnp.float32)
+            logits = logits / (dh ** 0.5)
+            logits = logits + jnp.where(
+                source_mask[:, None, None, :], 0.0, NEG
+            )
+            attn = jax.nn.softmax(logits, axis=-1).astype(dt)
+            msg = jnp.einsum("bhks,bshd->bkhd", attn, v)
         msg = msg.reshape(B, K, D)
         return nn.Dense(D, dtype=dt, name="merge")(msg)
 

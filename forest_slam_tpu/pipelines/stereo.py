@@ -338,9 +338,45 @@ def _frame_features(img_l, img_r, rig: StereoRig, cfg: StereoConfig,
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _extract_chunk(images_l, images_r, rig, cfg, frontend, fparams):
-    return jax.vmap(
-        lambda l, r: _frame_features(l, r, rig, cfg, frontend, fparams)
-    )(images_l, images_r)
+    from forest_slam_tpu.stereo.sparse import sparse_depth_at_keypoints
+    from forest_slam_tpu.stereo.depth import depth_at_keypoints
+
+    feats = jax.vmap(lambda l: frontend.extract(fparams, l))(images_l)
+    if cfg.dense_depth:
+        def one(l, r, xy):
+            disp = sgm_disparity(l, r, cfg.sgm)
+            depth = disparity_to_depth(disp, rig.left.fx, rig.baseline)
+            z = depth_at_keypoints(depth, xy)
+            return z, jnp.ones(z.shape, bool)
+
+        z, z_ok = jax.vmap(one)(images_l, images_r, feats.xy)
+        return feats, z, z_ok
+
+    from forest_slam_tpu.stereo.sparse import cost_uses_volume
+
+    sp = cfg.sparse
+    K = feats.xy.shape[-2]
+    H, W = images_l.shape[-2:]
+    use_volume = cost_uses_volume(sp, K, H, W)
+
+    def one(t):
+        l, r, xy = t
+        return sparse_depth_at_keypoints(
+            l, r, xy, rig.left.fx, rig.baseline, sp
+        )
+
+    if use_volume:
+        # the dense cost volume is ~(D, H, W) x3 stages of HBM per frame;
+        # a full vmap over the chunk would materialize chunk x that at
+        # once — sub-batch so only a few volumes are live
+        z, z_ok = jax.lax.map(
+            one, (images_l, images_r, feats.xy), batch_size=4
+        )
+    else:
+        z, z_ok = jax.vmap(lambda l, r, xy: one((l, r, xy)))(
+            images_l, images_r, feats.xy
+        )
+    return feats, z, z_ok
 
 
 def _pair_from_slab(pf, pz, pok, cf, key, rig, cfg, frontend, fparams,

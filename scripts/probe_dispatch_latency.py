@@ -25,12 +25,15 @@ import jax.numpy as jnp
 
 
 def bench(name, fn, *args, n=20):
+    # NOTE: jax.block_until_ready is a NO-OP on the tunneled axon platform
+    # (a 75 s matmul chain "blocks" in 0 ms) — only a host fetch of a value
+    # actually waits for completion. The scalar fetch below is the sync.
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(out))
     dt = (time.time() - t0) / n
     print(f"{name:46s} {dt * 1e3:8.3f} ms", flush=True)
     return out

@@ -77,3 +77,20 @@ def test_stereo_pipeline_sparse_matches_dense_accuracy():
         results[name] = ape_translation(traj, gt, align=True, with_scale=False).rmse
     # sparse path must be at least as accurate as dense within 1.5x
     assert results["sparse"] < max(1.5 * results["dense"], 0.05), results
+
+
+def test_volume_cost_path_matches_gather(scene):
+    """The dense-volume cost construction is arithmetically identical to
+    the per-keypoint gather path (sparse.py _cost_rows_volume docstring)."""
+    il, ir, d_gt, feats = scene
+    dg, vg = sparse_disparity_at_keypoints(
+        il, ir, feats.xy, CFG._replace(cost_path="gather")
+    )
+    dv, vv = sparse_disparity_at_keypoints(
+        il, ir, feats.xy, CFG._replace(cost_path="volume")
+    )
+    vg = np.asarray(vg)
+    assert (vg == np.asarray(vv)).all()
+    np.testing.assert_allclose(
+        np.asarray(dg)[vg], np.asarray(dv)[vg], atol=1e-3
+    )
