@@ -174,21 +174,10 @@ def main() -> None:
         compose_mode="odometry",
     )
     if args.frontend == "sp":
-        from forest_slam_tpu.frontend.learned import (
-            LearnedFrontend,
-            LearnedFrontendConfig,
-        )
-        from forest_slam_tpu.frontend.superpoint import SuperPointConfig
-        from forest_slam_tpu.frontend.superglue import SuperGlueConfig
-        from forest_slam_tpu.frontend.weights import load_pretrained
+        from forest_slam_tpu.frontend.weights import load_learned_frontend
 
-        fe = LearnedFrontend(
-            LearnedFrontendConfig(
-                superpoint=SuperPointConfig(max_keypoints=n_kpts),
-                superglue=SuperGlueConfig(sinkhorn_iterations=20),
-            )
-        )
-        fparams = load_pretrained(fe, (H, W))
+        # checkpoint meta (stem_stride etc.) drives the model config
+        fe, fparams = load_learned_frontend((H, W), max_keypoints=n_kpts)
         # sanity gate: a learned front-end that cannot match two adjacent
         # frames would produce a meaningless headline number — fall back
         # to ORB rather than "benchmark" a non-tracking pipeline

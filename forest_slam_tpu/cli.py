@@ -86,11 +86,12 @@ def _build_frontend(args, cfg_orb, image_shape):
 
     if args.frontend == "orb":
         return orb_frontend(cfg_orb), None
-    from forest_slam_tpu.frontend.learned import LearnedFrontend
-    from forest_slam_tpu.frontend.weights import load_pretrained, DEFAULT_PATH
+    from forest_slam_tpu.frontend.weights import (
+        DEFAULT_PATH,
+        load_learned_frontend,
+    )
 
-    fe = LearnedFrontend()
-    params = load_pretrained(fe, image_shape, args.weights or DEFAULT_PATH)
+    fe, params = load_learned_frontend(image_shape, args.weights or DEFAULT_PATH)
     return learned_frontend(fe), params
 
 
@@ -329,10 +330,12 @@ def cmd_plot(args) -> int:
 def cmd_train_frontend(args) -> int:
     import jax
 
+    from forest_slam_tpu.frontend.superpoint import SuperPointConfig
     from forest_slam_tpu.frontend.weights import save_params, DEFAULT_PATH
     from forest_slam_tpu.train.trainer import TrainConfig, train
 
     cfg = TrainConfig(
+        superpoint=SuperPointConfig(stem_stride=args.stem_stride),
         height=args.height, width=args.width, batch_size=args.batch,
         learning_rate=args.lr,
         texture_fraction=args.texture_fraction,
@@ -341,8 +344,16 @@ def cmd_train_frontend(args) -> int:
     state, history = train(cfg, args.steps, seed=args.seed, log_every=args.log_every)
     for step, m in history:
         print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
-    save_params(state.params, args.out or DEFAULT_PATH)
-    print(f"saved weights -> {args.out or DEFAULT_PATH}")
+    out = args.out or DEFAULT_PATH
+    save_params(
+        state.params, out,
+        meta={
+            "stem_stride": args.stem_stride,
+            "gnn_layers": cfg.superglue.gnn_layers,
+            "sinkhorn_iterations": cfg.superglue.sinkhorn_iterations,
+        },
+    )
+    print(f"saved weights -> {out}")
     return 0
 
 
@@ -406,6 +417,11 @@ def main(argv=None) -> int:
     p.add_argument(
         "--corridor-fraction", type=float, default=0.3,
         help="share of 3D-supervised corridor pairs (large-K robustness)",
+    )
+    p.add_argument(
+        "--stem-stride", type=int, default=2, choices=(1, 2, 4, 8),
+        help="SuperPoint space-to-depth stem (2 = TPU-fast flagship; "
+             "1 = literal VGG stem)",
     )
     p.set_defaults(fn=cmd_train_frontend)
 

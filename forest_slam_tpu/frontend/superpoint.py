@@ -177,7 +177,12 @@ def select_keypoints(
         bb = 4
         interior = (ys >= bb) & (ys < H - bb) & (xs >= bb) & (xs < W - bb)
         kept = jnp.where(interior, kept, 0.0)
-        if use_blocks and H % b == 0 and W % b == 0:
+        if (
+            use_blocks
+            and H % b == 0
+            and W % b == 0
+            and (H // b) * (W // b) >= cfg.max_keypoints
+        ):
             Hb, Wb = H // b, W // b
             blocks = (
                 kept.reshape(Hb, b, Wb, b)

@@ -23,10 +23,55 @@ DEFAULT_PATH = os.path.join(
 )
 
 
-def save_params(params, path: str = DEFAULT_PATH) -> None:
+def save_params(params, path: str = DEFAULT_PATH, meta: dict | None = None) -> None:
+    """Write a checkpoint; ``meta`` records the architecture knobs that
+    parameter shapes depend on (e.g. superpoint stem_stride) so loaders can
+    rebuild a matching model without out-of-band knowledge."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = params if meta is None else {"__meta__": meta, "params": params}
     with open(path, "wb") as f:
-        f.write(serialization.to_bytes(params))
+        f.write(serialization.to_bytes(payload))
+
+
+def load_meta(path: str = DEFAULT_PATH) -> dict:
+    """Architecture meta stored in a checkpoint ({} for legacy files)."""
+    if not os.path.exists(path):
+        return {}
+    with open(path, "rb") as f:
+        state = serialization.msgpack_restore(f.read())
+    if isinstance(state, dict) and "__meta__" in state:
+        return {k: _scalar(v) for k, v in state["__meta__"].items()}
+    return {}
+
+
+def _scalar(v):
+    try:
+        return v.item()
+    except AttributeError:
+        return v
+
+
+def load_learned_frontend(image_shape, path: str = DEFAULT_PATH, **overrides):
+    """Build a LearnedFrontend matching a checkpoint's architecture meta and
+    load its weights. ``overrides`` are extra SuperPointConfig fields that do
+    not affect parameter shapes (max_keypoints, thresholds)."""
+    from forest_slam_tpu.frontend.learned import (
+        LearnedFrontend,
+        LearnedFrontendConfig,
+    )
+    from forest_slam_tpu.frontend.superglue import SuperGlueConfig
+    from forest_slam_tpu.frontend.superpoint import SuperPointConfig
+
+    meta = load_meta(path)
+    sp = SuperPointConfig(
+        stem_stride=int(meta.get("stem_stride", 1)), **overrides
+    )
+    sg = SuperGlueConfig(
+        gnn_layers=int(meta.get("gnn_layers", 9)),
+        sinkhorn_iterations=int(meta.get("sinkhorn_iterations", 20)),
+    )
+    fe = LearnedFrontend(LearnedFrontendConfig(superpoint=sp, superglue=sg))
+    return fe, load_pretrained(fe, image_shape, path)
 
 
 def load_pretrained(fe, image_shape, path: str = DEFAULT_PATH, seed: int = 0):
@@ -46,14 +91,13 @@ def load_pretrained(fe, image_shape, path: str = DEFAULT_PATH, seed: int = 0):
         return template
     with open(path, "rb") as f:
         raw = f.read()
-    try:
-        params = serialization.from_bytes(template, raw)
-    except ValueError:
-        state = serialization.msgpack_restore(raw)
-        sp = state.get("superpoint", {})
-        if isinstance(sp, dict) and "params" in sp and "net" not in sp["params"]:
-            state["superpoint"] = {"params": {"net": sp["params"]}}
-        params = serialization.from_state_dict(template, state)
+    state = serialization.msgpack_restore(raw)
+    if isinstance(state, dict) and "__meta__" in state:
+        state = state["params"]
+    sp = state.get("superpoint", {})
+    if isinstance(sp, dict) and "params" in sp and "net" not in sp["params"]:
+        state["superpoint"] = {"params": {"net": sp["params"]}}
+    params = serialization.from_state_dict(template, state)
     # msgpack restore yields HOST numpy leaves; left as-is, every jitted call
     # re-uploads the full weight tree (on a tunneled TPU that is ~2 s per
     # dispatch — measured 400x slowdown on the SuperGlue step). Commit the

@@ -281,6 +281,33 @@ def corridor_pair(
     )
 
 
+def make_corridor_pool(
+    key: jax.Array,
+    n_pairs: int,
+    height: int,
+    width: int,
+    max_corners: int = 48,
+    chunk: int = 32,
+) -> "TrainingBatch":
+    """Pre-rendered 3D-supervised corridor pairs, stacked on axis 0.
+
+    Rendering inside the train step costs ~3 s/step (a fresh corridor
+    world plus two ray-cast views per corridor sample); a pool rendered
+    once and sampled per step amortizes that away. Each pool entry is a
+    distinct world + viewpoint + forward gap; per-step photometric noise
+    is re-drawn at sampling time (make_training_batch).
+    """
+    n_pairs = -(-n_pairs // chunk) * chunk  # round up to whole chunks
+    fn = jax.jit(
+        lambda ks: jax.vmap(
+            lambda k: corridor_pair(k, height, width, max_corners)
+        )(ks)
+    )
+    keys = jax.random.split(key, n_pairs)
+    outs = [fn(keys[s : s + chunk]) for s in range(0, n_pairs, chunk)]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+
 class TrainingBatch(NamedTuple):
     image0: jax.Array  # (B, H, W) [0, 255]
     image1: jax.Array  # (B, H, W)
@@ -299,14 +326,17 @@ def make_training_batch(
     max_corners: int = 48,
     texture_fraction: float = 0.5,
     corridor_fraction: float = 0.0,
+    corridor_pool: TrainingBatch | None = None,
 ) -> TrainingBatch:
     """Batched correspondence-labelled training pairs.
 
     Three sources: a ``corridor_fraction`` share of 3D-supervised corridor
-    pairs (true forward-motion scale change, see corridor_pair), a
-    ``texture_fraction`` share of teacher-labelled natural-texture
-    homography pairs (random_texture_image), and the rest corner scenes
-    with exact geometric labels."""
+    pairs (true forward-motion scale change, see corridor_pair) — drawn
+    from ``corridor_pool`` with fresh photometric noise when given,
+    rendered on the fly otherwise — a ``texture_fraction`` share of
+    teacher-labelled natural-texture homography pairs
+    (random_texture_image), and the rest corner scenes with exact
+    geometric labels."""
 
     n_cor = int(round(batch * corridor_fraction))
     n_tex = min(int(round(batch * texture_fraction)), batch - n_cor)
@@ -340,7 +370,27 @@ def make_training_batch(
 
     keys = jax.random.split(key, batch)
     parts = []
-    if n_cor:
+    if n_cor and corridor_pool is not None:
+        k_idx, k_n0, k_n1 = jax.random.split(keys[0], 3)
+        idx = jax.random.randint(
+            k_idx, (n_cor,), 0, corridor_pool.image0.shape[0]
+        )
+        drawn = jax.tree.map(lambda a: a[idx], corridor_pool)
+        parts.append(
+            drawn._replace(
+                image0=jnp.clip(
+                    drawn.image0
+                    + jax.random.normal(k_n0, drawn.image0.shape) * 2.0,
+                    0, 255,
+                ),
+                image1=jnp.clip(
+                    drawn.image1
+                    + jax.random.normal(k_n1, drawn.image1.shape) * 2.0,
+                    0, 255,
+                ),
+            )
+        )
+    elif n_cor:
         parts.append(
             jax.vmap(
                 lambda k: corridor_pair(k, height, width, max_corners)

@@ -50,6 +50,9 @@ class TrainConfig(NamedTuple):
     w_matching: float = 0.5
     texture_fraction: float = 0.5
     corridor_fraction: float = 0.0  # 3D corridor pairs (large-K robustness)
+    # corridor pairs are drawn from a pool pre-rendered once per run
+    # (train/data.py make_corridor_pool): in-step rendering costs ~3 s/step
+    corridor_pool_size: int = 4096
 
 
 class TrainState(NamedTuple):
@@ -149,7 +152,8 @@ train_step = functools.partial(jax.jit, static_argnums=(2,))(_train_step_raw)
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def train_steps_scan(
-    state: TrainState, key: jax.Array, cfg: TrainConfig, n_steps: int
+    state: TrainState, key: jax.Array, cfg: TrainConfig, n_steps: int,
+    corridor_pool=None,
 ):
     """Run ``n_steps`` train steps in ONE dispatch (batch generation
     on-device inside a lax.scan). Per-step host dispatch dominates wall
@@ -157,23 +161,22 @@ def train_steps_scan(
     with a few hundred steps at a time. Returns (state, next_key, metrics
     of the last step)."""
 
+    def one(st, bk):
+        batch = make_training_batch(
+            bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners,
+            cfg.texture_fraction, cfg.corridor_fraction, corridor_pool,
+        )
+        return _train_step_raw(st, batch, cfg)
+
     def body(carry, _):
         st, k = carry
         k, bk = jax.random.split(k)
-        batch = make_training_batch(
-            bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners,
-            cfg.texture_fraction, cfg.corridor_fraction,
-        )
-        st, metrics = _train_step_raw(st, batch, cfg)
+        st, _ = one(st, bk)
         return (st, k), None
 
     (state, key), _ = jax.lax.scan(body, (state, key), None, length=n_steps - 1)
     key, bk = jax.random.split(key)
-    batch = make_training_batch(
-        bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners,
-        cfg.texture_fraction, cfg.corridor_fraction,
-    )
-    state, metrics = _train_step_raw(state, batch, cfg)
+    state, metrics = one(state, bk)
     return state, key, metrics
 
 
@@ -219,15 +222,31 @@ def train(
 ):
     """Simple single-host training loop. Steps run in ``log_every``-sized
     scanned chunks (one device dispatch each, see train_steps_scan)."""
+    import time
+
+    from forest_slam_tpu.train.data import make_corridor_pool
+
     key = jax.random.PRNGKey(seed)
     if state is None:
         key, init_key = jax.random.split(key)
         state = create_train_state(init_key, cfg)
+    pool = None
+    if cfg.corridor_fraction > 0 and cfg.corridor_pool_size > 0:
+        key, pk = jax.random.split(key)
+        t0 = time.time()
+        pool = make_corridor_pool(
+            pk, cfg.corridor_pool_size, cfg.height, cfg.width, cfg.max_corners
+        )
+        jax.tree.map(lambda a: a.block_until_ready(), pool)
+        print(
+            f"# corridor pool: {pool.image0.shape[0]} pairs rendered "
+            f"in {time.time() - t0:.1f}s"
+        )
     history = []
     done = 0
     while done < n_steps:
         chunk = min(log_every, n_steps - done)
-        state, key, metrics = train_steps_scan(state, key, cfg, chunk)
+        state, key, metrics = train_steps_scan(state, key, cfg, chunk, pool)
         done += chunk
         m = {k: float(v) for k, v in metrics.items()}
         history.append((done - 1, m))

@@ -65,21 +65,14 @@ def main():
     if "orb" in args.frontends:
         frontends["orb"] = (orb_frontend(cfg.orb, cfg.max_match_distance), None)
     if "sp" in args.frontends:
-        from forest_slam_tpu.frontend.learned import (
-            LearnedFrontend,
-            LearnedFrontendConfig,
+        from forest_slam_tpu.frontend.weights import (
+            DEFAULT_PATH,
+            load_learned_frontend,
         )
-        from forest_slam_tpu.frontend.superglue import SuperGlueConfig
-        from forest_slam_tpu.frontend.superpoint import SuperPointConfig
-        from forest_slam_tpu.frontend.weights import DEFAULT_PATH, load_pretrained
 
-        fe = LearnedFrontend(
-            LearnedFrontendConfig(
-                superpoint=SuperPointConfig(max_keypoints=1024),
-                superglue=SuperGlueConfig(sinkhorn_iterations=20),
-            )
+        fe, fparams = load_learned_frontend(
+            (H, W), args.weights or DEFAULT_PATH, max_keypoints=1024
         )
-        fparams = load_pretrained(fe, (H, W), args.weights or DEFAULT_PATH)
         frontends["sp"] = (learned_frontend(fe), fparams)
 
     for name, (fn, fparams) in frontends.items():

@@ -106,3 +106,35 @@ def test_match_decoding_mutual_threshold():
     assert m[0] == 1
     assert m[1] == -1  # dustbin
     assert m[2] == -1  # below threshold
+
+
+def test_checkpoint_meta_roundtrip(tmp_path):
+    """Checkpoints record architecture meta (stem_stride etc.) and
+    load_learned_frontend rebuilds a matching model (weights.py)."""
+    from forest_slam_tpu.frontend.weights import (
+        load_learned_frontend,
+        load_meta,
+        save_params,
+    )
+
+    cfg = LearnedFrontendConfig(
+        superpoint=SuperPointConfig(max_keypoints=32, stem_stride=2),
+        superglue=SuperGlueConfig(gnn_layers=2, sinkhorn_iterations=5),
+    )
+    fe = LearnedFrontend(cfg)
+    params = fe.init(jax.random.PRNGKey(0), (H, W))
+    path = str(tmp_path / "w.msgpack")
+    save_params(
+        params, path,
+        meta={"stem_stride": 2, "gnn_layers": 2, "sinkhorn_iterations": 5},
+    )
+    assert load_meta(path)["stem_stride"] == 2
+    fe2, p2 = load_learned_frontend((H, W), path, max_keypoints=32)
+    assert fe2.cfg.superpoint.stem_stride == 2
+    assert fe2.cfg.superglue.gnn_layers == 2
+    feats = fe2.extract(p2, jnp.zeros((1, H, W)))
+    assert feats.xy.shape == (1, 32, 2)
+    # loaded tree matches the saved one exactly
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(p2)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
