@@ -30,6 +30,15 @@ from forest_slam_tpu.frontend.superglue import (
 class LearnedFrontendConfig(NamedTuple):
     superpoint: SuperPointConfig = SuperPointConfig()
     superglue: SuperGlueConfig = SuperGlueConfig()
+    # Extraction octaves. (1.0,) is the single-scale reference behavior.
+    # Multi-scale (e.g. (1.0, 0.5, 0.25)) runs the extractor on downscaled
+    # copies too and merges the per-scale keypoint sets by score into the
+    # same fixed max_keypoints slots (coords mapped back to full-res) —
+    # the learned analogue of ORB's image pyramid, giving the matcher
+    # scale-covariant support under forward motion (the reference thesis's
+    # K-interval robustness) without retraining. Costs sum(s^2) extra
+    # extractor FLOPs (~1.31x at three octaves).
+    scales: tuple = (1.0,)
 
 
 class PairMatch(NamedTuple):
@@ -63,8 +72,44 @@ class LearnedFrontend:
         return {"superpoint": sp_params, "superglue": sg_params}
 
     def extract(self, params: dict, images: jax.Array) -> SuperPointFeatures:
-        """images (B, H, W) in [0, 255] -> batched features."""
-        return self.superpoint.apply(params["superpoint"], images / 255.0)
+        """images (B, H, W) in [0, 255] -> batched features.
+
+        With cfg.scales beyond (1.0,), per-octave keypoint sets are merged
+        by detector score into the same fixed slots (coords in full-res
+        pixels), so downstream shapes are unchanged.
+        """
+        if tuple(self.cfg.scales) == (1.0,):
+            return self.superpoint.apply(params["superpoint"], images / 255.0)
+        B, H, W = images.shape
+        s8 = self.cfg.superpoint.stem_stride * 8
+        per_scale = []
+        for s in self.cfg.scales:
+            if s == 1.0:
+                imgs_s = images
+            else:
+                Hs = max(int(round(H * s)) // s8 * s8, s8)
+                Ws = max(int(round(W * s)) // s8 * s8, s8)
+                imgs_s = jax.image.resize(images, (B, Hs, Ws), "linear")
+            f = self.superpoint.apply(params["superpoint"], imgs_s / 255.0)
+            Hs, Ws = imgs_s.shape[1:]
+            scale_back = jnp.array([W / Ws, H / Hs], jnp.float32)
+            per_scale.append(f._replace(xy=f.xy * scale_back))
+        merged = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *per_scale
+        )
+        K = self.cfg.superpoint.max_keypoints
+        score = jnp.where(merged.valid, merged.score, -jnp.inf)
+        _, top = jax.lax.top_k(score, K)  # (B, K)
+        take = lambda a: jnp.take_along_axis(
+            a, top.reshape(top.shape + (1,) * (a.ndim - 2)), axis=1
+        )
+        out = SuperPointFeatures(
+            xy=take(merged.xy),
+            score=take(merged.score),
+            desc=take(merged.desc),
+            valid=take(merged.valid) & jnp.isfinite(jnp.take_along_axis(score, top, axis=1)),
+        )
+        return out
 
     def match_features(
         self,

@@ -51,10 +51,13 @@ def _scalar(v):
         return v
 
 
-def load_learned_frontend(image_shape, path: str = DEFAULT_PATH, **overrides):
+def load_learned_frontend(
+    image_shape, path: str = DEFAULT_PATH, scales=(1.0,), **overrides
+):
     """Build a LearnedFrontend matching a checkpoint's architecture meta and
     load its weights. ``overrides`` are extra SuperPointConfig fields that do
-    not affect parameter shapes (max_keypoints, thresholds)."""
+    not affect parameter shapes (max_keypoints, thresholds); ``scales`` are
+    the extraction octaves (LearnedFrontendConfig.scales)."""
     from forest_slam_tpu.frontend.learned import (
         LearnedFrontend,
         LearnedFrontendConfig,
@@ -70,7 +73,11 @@ def load_learned_frontend(image_shape, path: str = DEFAULT_PATH, **overrides):
         gnn_layers=int(meta.get("gnn_layers", 9)),
         sinkhorn_iterations=int(meta.get("sinkhorn_iterations", 20)),
     )
-    fe = LearnedFrontend(LearnedFrontendConfig(superpoint=sp, superglue=sg))
+    fe = LearnedFrontend(
+        LearnedFrontendConfig(
+            superpoint=sp, superglue=sg, scales=tuple(scales)
+        )
+    )
     return fe, load_pretrained(fe, image_shape, path)
 
 

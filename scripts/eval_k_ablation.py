@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--ks", type=int, nargs="+", default=[1, 10, 20])
     ap.add_argument("--weights", type=str, default=None)
     ap.add_argument("--frontends", nargs="+", default=["orb", "sp"])
+    ap.add_argument(
+        "--scales", type=float, nargs="+", default=[1.0],
+        help="learned-frontend extraction octaves (pyramid)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -71,7 +75,8 @@ def main():
         )
 
         fe, fparams = load_learned_frontend(
-            (H, W), args.weights or DEFAULT_PATH, max_keypoints=1024
+            (H, W), args.weights or DEFAULT_PATH, max_keypoints=1024,
+            scales=tuple(args.scales),
         )
         frontends["sp"] = (learned_frontend(fe), fparams)
 
