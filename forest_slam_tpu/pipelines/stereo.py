@@ -352,29 +352,28 @@ def _extract_chunk(images_l, images_r, rig, cfg, frontend, fparams):
         z, z_ok = jax.vmap(one)(images_l, images_r, feats.xy)
         return feats, z, z_ok
 
-    from forest_slam_tpu.stereo.sparse import cost_uses_volume
+    from forest_slam_tpu.stereo.sparse import (
+        resolve_cost_path,
+        sparse_depth_at_keypoints_batched,
+    )
 
     sp = cfg.sparse
     K = feats.xy.shape[-2]
     H, W = images_l.shape[-2:]
-    use_volume = cost_uses_volume(sp, K, H, W)
-
-    def one(t):
-        l, r, xy = t
-        return sparse_depth_at_keypoints(
-            l, r, xy, rig.left.fx, rig.baseline, sp
-        )
-
-    if use_volume:
+    if resolve_cost_path(sp, K, H, W) == "volume":
         # the dense cost volume is ~(D, H, W) x3 stages of HBM per frame;
         # a full vmap over the chunk would materialize chunk x that at
         # once — sub-batch so only a few volumes are live
         z, z_ok = jax.lax.map(
-            one, (images_l, images_r, feats.xy), batch_size=4
+            lambda t: sparse_depth_at_keypoints(
+                t[0], t[1], t[2], rig.left.fx, rig.baseline, sp
+            ),
+            (images_l, images_r, feats.xy),
+            batch_size=4,
         )
     else:
-        z, z_ok = jax.vmap(lambda l, r, xy: one((l, r, xy)))(
-            images_l, images_r, feats.xy
+        z, z_ok = sparse_depth_at_keypoints_batched(
+            images_l, images_r, feats.xy, rig.left.fx, rig.baseline, sp
         )
     return feats, z, z_ok
 

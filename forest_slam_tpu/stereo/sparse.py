@@ -34,22 +34,31 @@ class SparseStereoConfig(NamedTuple):
     prefilter_cap: float = 31.0
     max_cost_ratio: float = 0.8  # best/second-best uniqueness gate
     subpixel: bool = True
-    # Cost construction: "gather" (default) slices one row-strip per
-    # keypoint; "volume" streams a dense box-filtered |diff| volume and
-    # row-gathers the K cost rows — arithmetically identical (tested).
-    # Measured per frame at 960x600, D=96 on v5e: gather 1.7 ms (K=512) /
-    # 3.8 ms (K=1024); volume 6.3 / 3.8 ms (bfloat16; float32 ~1.8x
-    # worse) — the streamed passes do not fuse as tightly as the
-    # bandwidth model hopes, so the gather path stays the default at
-    # SLAM-scale keypoint counts.
-    cost_path: str = "gather"
+    # Cost construction, all arithmetically identical (equivalence-tested):
+    #   "pallas": fused TPU kernel (pallas_sparse.py) — both prefiltered
+    #     images live in VMEM, per-keypoint windows come from in-VMEM
+    #     aligned loads + rotates, no HBM gathers. 0.55 ms/frame at
+    #     K=1024, 960x600, D=96 on v5e — bit-exact vs "gather".
+    #   "gather": one row-strip dynamic_slice per keypoint (XLA); the TPU
+    #     gather unit bounds it at ~190M elem/s: 3.8 ms/frame at K=1024.
+    #   "volume": dense box-filtered |diff| volume + row pickup; measured
+    #     slower than gather at SLAM-scale K (6.3/3.8 ms) — kept for
+    #     reference.
+    # "auto" (default): pallas on TPU when D + w - 1 <= 128, else gather.
+    cost_path: str = "auto"
     volume_dtype: str = "bfloat16"
 
 
-def cost_uses_volume(cfg: SparseStereoConfig, K: int, H: int, W: int) -> bool:
-    """Static choice between the gather and volume cost paths."""
-    del K, H, W  # measured: gather wins at all SLAM-scale shapes (see cfg)
-    return cfg.cost_path == "volume"
+def resolve_cost_path(cfg: SparseStereoConfig, K: int, H: int, W: int) -> str:
+    """Static cost-path choice. "auto" -> the fused Pallas kernel on TPU
+    when its tiling constraints hold (D + w - 1 <= 128, w <= 8), else the
+    gather path (measured fastest XLA fallback at SLAM-scale K)."""
+    del K, H, W
+    if cfg.cost_path != "auto":
+        return cfg.cost_path
+    on_tpu = jax.default_backend() == "tpu"
+    fits = cfg.num_disparities + cfg.window - 1 <= 128 and cfg.window <= 8
+    return "pallas" if (on_tpu and fits) else "gather"
 
 
 def _cost_rows_gather(pl, pr, xi, yi, cfg: SparseStereoConfig) -> jax.Array:
@@ -159,11 +168,26 @@ def sparse_disparity_at_keypoints(
     yi = xy[:, 1].astype(jnp.int32)
     K = xi.shape[0]
 
-    if cost_uses_volume(cfg, K, H, W):
+    path = resolve_cost_path(cfg, K, H, W)
+    if path in ("pallas", "pallas_interpret"):
+        from forest_slam_tpu.stereo.pallas_sparse import sparse_cost_rows
+
+        cost = sparse_cost_rows(
+            pl, pr, xi, yi, D, w, interpret=path == "pallas_interpret"
+        )
+    elif path == "volume":
         cost = _cost_rows_volume(pl, pr, xi, yi, cfg)
     else:
         cost = _cost_rows_gather(pl, pr, xi, yi, cfg)
+    return _decide_from_cost(cost, xi, yi, H, W, cfg)
 
+
+def _decide_from_cost(cost, xi, yi, H: int, W: int, cfg: SparseStereoConfig):
+    """(K, D) SAD cost -> (disp, valid): winner-take-all + uniqueness gate
+    + sub-pixel parabola + bounds masks (shared by every cost path)."""
+    D = cfg.num_disparities
+    w = cfg.window
+    r = w // 2
     ds = jnp.arange(D)
     max_cost = 2.0 * cfg.prefilter_cap * w * w
     in_range = (xi[:, None] - ds[None, :]) >= r
@@ -211,3 +235,19 @@ def sparse_depth_at_keypoints(
     disp, valid = sparse_disparity_at_keypoints(left, right, xy, cfg)
     depth = fx * baseline / jnp.maximum(disp, 0.1)
     return depth, valid & (disp > 0.1)
+
+
+def sparse_depth_at_keypoints_batched(
+    images_l: jax.Array,  # (B, H, W)
+    images_r: jax.Array,
+    xy: jax.Array,  # (B, K, 2)
+    fx,
+    baseline,
+    cfg: SparseStereoConfig = SparseStereoConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """Batched ((B, K) depth, validity). A plain vmap: on the pallas path
+    the custom_vmap rule routes the whole batch to the kernel's native
+    batch grid in one pallas_call."""
+    return jax.vmap(
+        lambda l, r, p: sparse_depth_at_keypoints(l, r, p, fx, baseline, cfg)
+    )(images_l, images_r, xy)

@@ -87,10 +87,29 @@ def test_volume_cost_path_matches_gather(scene):
         il, ir, feats.xy, CFG._replace(cost_path="gather")
     )
     dv, vv = sparse_disparity_at_keypoints(
-        il, ir, feats.xy, CFG._replace(cost_path="volume")
+        il, ir, feats.xy,
+        CFG._replace(cost_path="volume", volume_dtype="float32"),
     )
     vg = np.asarray(vg)
     assert (vg == np.asarray(vv)).all()
     np.testing.assert_allclose(
         np.asarray(dg)[vg], np.asarray(dv)[vg], atol=1e-3
+    )
+
+
+def test_pallas_cost_path_matches_gather(scene):
+    """The fused Pallas SAD kernel (stereo/pallas_sparse.py) reproduces the
+    gather path exactly (interpret mode on CPU)."""
+    il, ir, d_gt, feats = scene
+    dg, vg = sparse_disparity_at_keypoints(
+        il, ir, feats.xy, CFG._replace(cost_path="gather", num_disparities=96)
+    )
+    dp, vp = sparse_disparity_at_keypoints(
+        il, ir, feats.xy,
+        CFG._replace(cost_path="pallas_interpret", num_disparities=96),
+    )
+    vg = np.asarray(vg)
+    assert (vg == np.asarray(vp)).all()
+    np.testing.assert_allclose(
+        np.asarray(dg)[vg], np.asarray(dp)[vg], atol=1e-3
     )
