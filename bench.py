@@ -76,6 +76,10 @@ def main() -> None:
     ap.add_argument("--profile", type=str, default=None)
     ap.add_argument("--frame-chunk", type=int, default=32)
     ap.add_argument("--pair-chunk", type=int, default=48)
+    ap.add_argument("--sg-softmax", choices=["float32", "bfloat16"],
+                    default="float32")
+    ap.add_argument("--refine-radius", type=int, default=0,
+                    help="post-match SAD refinement radius px (0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -172,12 +176,16 @@ def main() -> None:
         sgm=SgmConfig(num_disparities=n_disp),
         n_hypotheses=512 if args.quick else 1024,
         compose_mode="odometry",
+        match_refine_radius=args.refine_radius,
     )
     if args.frontend == "sp":
         from forest_slam_tpu.frontend.weights import load_learned_frontend
 
         # checkpoint meta (stem_stride etc.) drives the model config
-        fe, fparams = load_learned_frontend((H, W), max_keypoints=n_kpts)
+        fe, fparams = load_learned_frontend(
+            (H, W), max_keypoints=n_kpts,
+            superglue_overrides={"softmax_dtype": args.sg_softmax},
+        )
         # sanity gate: a learned front-end that cannot match two adjacent
         # frames would produce a meaningless headline number — fall back
         # to ORB rather than "benchmark" a non-tracking pipeline

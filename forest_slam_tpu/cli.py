@@ -53,6 +53,8 @@ def _add_common(p, stereo: bool):
                        help="refine with sliding-window bundle adjustment")
         p.add_argument("--ba-window", type=int, default=5)
         p.add_argument("--ba-iters", type=int, default=8)
+        p.add_argument("--match-refine-radius", type=int, default=0,
+                       help="post-match SAD refinement radius px (0 = off)")
         p.add_argument("--rectify", action="store_true",
                        help="stereo-rectify instead of the reference's "
                             "unrectified parity behavior (quirk B3)")
@@ -154,7 +156,8 @@ def cmd_stereo(args) -> int:
         from forest_slam_tpu.stereo import SgmConfig
 
         cfg = StereoConfig(
-            sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode
+            sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode,
+            match_refine_radius=args.match_refine_radius,
         )
     else:
         from forest_slam_tpu.io.calib import botanic_garden_rig
@@ -166,7 +169,8 @@ def cmd_stereo(args) -> int:
             frame_stride=args.frame_stride,
         )
         il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
-        cfg = StereoConfig(compose_mode=args.compose_mode)
+        cfg = StereoConfig(compose_mode=args.compose_mode,
+                           match_refine_radius=args.match_refine_radius)
         if args.rectify:
             from forest_slam_tpu.stereo.rectify import rectify_images, stereo_rectify
 
@@ -340,6 +344,7 @@ def cmd_train_frontend(args) -> int:
         learning_rate=args.lr,
         texture_fraction=args.texture_fraction,
         corridor_fraction=args.corridor_fraction,
+        corridor_pool_size=args.corridor_pool,
     )
     state, history = train(cfg, args.steps, seed=args.seed, log_every=args.log_every)
     for step, m in history:
@@ -423,6 +428,8 @@ def main(argv=None) -> int:
         help="SuperPoint space-to-depth stem (2 = TPU-fast flagship; "
              "1 = literal VGG stem)",
     )
+    p.add_argument("--corridor-pool", type=int, default=4096,
+                   help="pre-rendered corridor-pair pool size")
     p.set_defaults(fn=cmd_train_frontend)
 
     args = ap.parse_args(argv)

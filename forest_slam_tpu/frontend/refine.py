@@ -1,0 +1,139 @@
+"""Post-match keypoint refinement by local template search.
+
+Wide-baseline SuperGlue matches on the synthetic corridor are coarsely
+correct but poorly localized (median reprojection residual 12-30 px at
+frame gaps 10-20, measured) — SuperPoint's detections do not repeat to
+sub-pixel accuracy under the scale change of forward motion, so
+PnP-RANSAC's 1 px inlier gate (stereo_slam.py:294 parity) rejects nearly
+everything and tracking collapses at large keyframe intervals.
+
+``refine_matches`` pulls each matched point toward the true correspondence
+with a classical template search (the feature-alignment step of
+SVO/DSO-style VO): an 8x8 template around the frame-0 keypoint is matched
+by SAD against a (2R+1)^2 neighbourhood of the frame-1 estimate, with
+parabola sub-pixel in both axes. All fixed-shape and vmapped: one
+dynamic_slice per template + one per search window, SAD expansion via
+conv_general_dilated_patches — same gather discipline as stereo/sparse.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RefineConfig(NamedTuple):
+    radius: int = 12  # search +-radius px around the matcher's estimate
+    template: int = 8  # template side (even: centred on the pixel grid)
+    max_cost_ratio: float = 0.9  # best/second-best uniqueness gate
+
+
+def refine_matches(
+    img0: jax.Array,  # (H, W) frame 0
+    img1: jax.Array,  # (H, W) frame 1
+    xy0: jax.Array,  # (K, 2) keypoints in frame 0
+    xy1: jax.Array,  # (K, 2) matched estimates in frame 1
+    valid: jax.Array,  # (K,) match validity
+    cfg: RefineConfig = RefineConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """((K, 2) refined frame-1 coords, (K,) refinement ok).
+
+    Points that fail the uniqueness gate or whose window leaves the image
+    keep their input coordinate with ok=False.
+    """
+    H, W = img0.shape
+    R = cfg.radius
+    t = cfg.template
+    ht = t // 2
+    S = t + 2 * R  # search window side
+
+    xi0 = jnp.round(xy0[:, 0]).astype(jnp.int32)
+    yi0 = jnp.round(xy0[:, 1]).astype(jnp.int32)
+    xi1 = jnp.round(xy1[:, 0]).astype(jnp.int32)
+    yi1 = jnp.round(xy1[:, 1]).astype(jnp.int32)
+
+    img0p = jnp.pad(img0, ht)
+    img1p = jnp.pad(img1, ht + R)
+
+    def one(x0, y0, x1, y1):
+        tpl = jax.lax.dynamic_slice(img0p, (y0, x0), (t, t))
+        win = jax.lax.dynamic_slice(img1p, (y1, x1), (S, S))
+        return tpl, win
+
+    tpl, win = jax.vmap(one)(xi0, yi0, xi1, yi1)
+
+    # SAD over all (2R+1)^2 offsets by accumulating one template tap at a
+    # time inside a fori_loop — both a (t*t)-fold patches expansion and an
+    # unrolled tap loop let XLA keep t*t (K, 2R+1, 2R+1) temporaries alive
+    # at once (measured 20 GB under the pair-chunk vmap at R=24); the
+    # sequential loop peaks at a single accumulator
+    n = 2 * R + 1
+    Kn = win.shape[0]
+
+    def tap(i, acc):
+        ty = i // t
+        tx = i % t
+        wslice = jax.lax.dynamic_slice(win, (0, ty, tx), (Kn, n, n))
+        tval = jax.lax.dynamic_slice(tpl, (0, ty, tx), (Kn, 1, 1))
+        return acc + jnp.abs(wslice - tval)
+
+    cost = jax.lax.fori_loop(
+        0, t * t, tap, jnp.zeros((Kn, n, n), jnp.float32)
+    )
+    flat = cost.reshape(-1, n * n)
+    best = jnp.argmin(flat, axis=1)
+    by = best // n
+    bx = best % n
+    best_cost = jnp.min(flat, axis=1)
+
+    # uniqueness: best must beat the best candidate outside the 3x3
+    # neighbourhood of the winner
+    oy = jnp.arange(n)
+    near = (
+        (jnp.abs(oy[None, :, None] - by[:, None, None]) <= 1)
+        & (jnp.abs(oy[None, None, :] - bx[:, None, None]) <= 1)
+    )
+    big = jnp.float32(1e30)
+    second = jnp.min(jnp.where(near, big, cost).reshape(-1, n * n), axis=1)
+    unique = best_cost < cfg.max_cost_ratio * second
+
+    # parabola sub-pixel per axis (clamped winners at the border: offset 0)
+    def subpix(b, axis_cost):
+        bc = jnp.clip(b, 1, n - 2)
+        cm = jnp.take_along_axis(axis_cost, (bc - 1)[:, None], axis=1)[:, 0]
+        cc = jnp.take_along_axis(axis_cost, bc[:, None], axis=1)[:, 0]
+        cp = jnp.take_along_axis(axis_cost, (bc + 1)[:, None], axis=1)[:, 0]
+        den = cm - 2 * cc + cp
+        off = jnp.where(den > 1e-6, jnp.clip((cm - cp) / (2 * den), -0.5, 0.5), 0.0)
+        return jnp.where((b >= 1) & (b <= n - 2), off, 0.0)
+
+    col_at_by = jnp.take_along_axis(
+        cost, by[:, None, None].repeat(n, axis=2), axis=1
+    )[:, 0, :]  # (K, n) cost along x at the winning row
+    row_at_bx = jnp.take_along_axis(
+        cost, bx[:, None, None].repeat(n, axis=1), axis=2
+    )[:, :, 0]  # (K, n) cost along y at the winning col
+    sx = subpix(bx, col_at_by)
+    sy = subpix(by, row_at_bx)
+
+    dx = bx.astype(jnp.float32) - R + sx
+    dy = by.astype(jnp.float32) - R + sy
+    refined = jnp.stack(
+        [xi1.astype(jnp.float32) + dx, yi1.astype(jnp.float32) + dy], axis=1
+    )
+
+    in_bounds = (
+        (xi1 - R - ht >= 0)
+        & (xi1 + R + ht < W)
+        & (yi1 - R - ht >= 0)
+        & (yi1 + R + ht < H)
+        & (xi0 - ht >= 0)
+        & (xi0 + ht < W)
+        & (yi0 - ht >= 0)
+        & (yi0 + ht < H)
+    )
+    ok = valid & unique & in_bounds
+    out = jnp.where(ok[:, None], refined, xy1)
+    return out, ok

@@ -52,12 +52,18 @@ def _scalar(v):
 
 
 def load_learned_frontend(
-    image_shape, path: str = DEFAULT_PATH, scales=(1.0,), **overrides
+    image_shape,
+    path: str = DEFAULT_PATH,
+    scales=(1.0,),
+    superglue_overrides: dict | None = None,
+    **overrides,
 ):
     """Build a LearnedFrontend matching a checkpoint's architecture meta and
     load its weights. ``overrides`` are extra SuperPointConfig fields that do
-    not affect parameter shapes (max_keypoints, thresholds); ``scales`` are
-    the extraction octaves (LearnedFrontendConfig.scales)."""
+    not affect parameter shapes (max_keypoints, thresholds);
+    ``superglue_overrides`` likewise for SuperGlueConfig (softmax_dtype,
+    attention_impl, match_threshold); ``scales`` are the extraction octaves
+    (LearnedFrontendConfig.scales)."""
     from forest_slam_tpu.frontend.learned import (
         LearnedFrontend,
         LearnedFrontendConfig,
@@ -72,6 +78,7 @@ def load_learned_frontend(
     sg = SuperGlueConfig(
         gnn_layers=int(meta.get("gnn_layers", 9)),
         sinkhorn_iterations=int(meta.get("sinkhorn_iterations", 20)),
+        **(superglue_overrides or {}),
     )
     fe = LearnedFrontend(
         LearnedFrontendConfig(

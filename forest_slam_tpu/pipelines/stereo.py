@@ -69,6 +69,15 @@ class StereoConfig(NamedTuple):
     compose_mode: str = "parity"
     min_depth: float = 0.1
     max_depth: float = 1000.0
+    # Post-match SAD template refinement of the current-frame observations
+    # (frontend/refine.py) before PnP; 0 = off. Learned detections do not
+    # repeat to sub-pixel accuracy (esp. under forward-motion scale
+    # change): measured on the corridor at 960x600, radius 24 lifts
+    # SuperGlue match precision@1px from 0.23 to 0.75 at frame gap 1 and
+    # rescues PnP entirely at gap 10 (0 -> 50 inliers, pose within 1 cm).
+    # Batched-runner and device-runner paths only (the sequential parity
+    # scan mirrors the reference, which has no such step).
+    match_refine_radius: int = 0
 
 
 class StereoState(NamedTuple):
@@ -135,6 +144,8 @@ def _match_and_pnp(
     frontend: FrontendFns,
     fparams,
     image_shape,
+    img_prev=None,
+    img_cur=None,
 ) -> PairVO:
     """Shared pair core: temporal match -> PnP-RANSAC -> gated relative pose.
 
@@ -146,6 +157,13 @@ def _match_and_pnp(
     idx = jnp.where(mask, matches, 0)
     valid = mask & depth_ok & prev_feats.valid
     obs = cur_feats.xy[idx]  # current-frame pixel observations
+    if cfg.match_refine_radius > 0 and img_prev is not None:
+        from forest_slam_tpu.frontend.refine import RefineConfig, refine_matches
+
+        obs, _ = refine_matches(
+            img_prev, img_cur, prev_feats.xy, obs, valid,
+            RefineConfig(radius=cfg.match_refine_radius),
+        )
 
     pnp = solve_pnp_ransac(
         pts3d,
@@ -379,24 +397,35 @@ def _extract_chunk(images_l, images_r, rig, cfg, frontend, fparams):
 
 
 def _pair_from_slab(pf, pz, pok, cf, key, rig, cfg, frontend, fparams,
-                    image_shape) -> PairVO:
+                    image_shape, img_prev=None, img_cur=None) -> PairVO:
     """One pair's VO from per-keypoint slab entries (shared by the chunked
     and pure-device runners)."""
     pts3d = backproject_depth(pf.xy, pz, rig.left)
     depth_ok = pok & (pz > cfg.min_depth) & (pz < cfg.max_depth)
     return _match_and_pnp(
-        pf, pts3d, depth_ok, cf, key, rig, cfg, frontend, fparams, image_shape
+        pf, pts3d, depth_ok, cf, key, rig, cfg, frontend, fparams,
+        image_shape, img_prev, img_cur,
     )
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 7))
 def _pair_chunk(prev_slab, cur_feats, keys, rig, cfg, frontend, fparams,
-                image_shape) -> PairVO:
+                image_shape, imgs_prev=None, imgs_cur=None) -> PairVO:
+    if imgs_prev is None:
+        return jax.vmap(
+            lambda pf, pz, pok, cf, key: _pair_from_slab(
+                pf, pz, pok, cf, key, rig, cfg, frontend, fparams, image_shape
+            )
+        )(prev_slab.feats, prev_slab.z, prev_slab.z_ok, cur_feats, keys)
     return jax.vmap(
-        lambda pf, pz, pok, cf, key: _pair_from_slab(
-            pf, pz, pok, cf, key, rig, cfg, frontend, fparams, image_shape
+        lambda pf, pz, pok, cf, key, ip, ic: _pair_from_slab(
+            pf, pz, pok, cf, key, rig, cfg, frontend, fparams, image_shape,
+            ip, ic,
         )
-    )(prev_slab.feats, prev_slab.z, prev_slab.z_ok, cur_feats, keys)
+    )(
+        prev_slab.feats, prev_slab.z, prev_slab.z_ok, cur_feats, keys,
+        imgs_prev, imgs_cur,
+    )
 
 
 def _tree_slice_pad(tree, start: int, size: int):
@@ -483,14 +512,35 @@ def run_stereo_vo_batched(
     cur_feats_all = jax.tree.map(lambda a: a[1:], slab.feats)
     image_shape = tuple(images_l.shape[1:])
 
+    refine = cfg.match_refine_radius > 0
+
+    def image_at(virtual_i: int, size: int, stack):
+        # images for virtual frames [virtual_i, virtual_i + size)
+        if frame_indices is not None:
+            idx = _tree_slice_pad(frame_indices, virtual_i, size)
+            return stack[idx]
+        return _tree_slice_pad(stack, virtual_i, size)
+
     pair_outs = []
     for s in range(0, n_pairs, pair_chunk):
         prev = _tree_slice_pad(prev_all, s, pair_chunk)
         cur = _tree_slice_pad(cur_feats_all, s, pair_chunk)
         k = _tree_slice_pad(keys, s, pair_chunk)
-        pair_outs.append(
-            _pair_chunk(prev, cur, k, rig, cfg, frontend, fparams, image_shape)
-        )
+        if refine:
+            ip = image_at(s, pair_chunk, images_l)
+            ic = image_at(s + 1, pair_chunk, images_l)
+            pair_outs.append(
+                _pair_chunk(
+                    prev, cur, k, rig, cfg, frontend, fparams, image_shape,
+                    ip, ic,
+                )
+            )
+        else:
+            pair_outs.append(
+                _pair_chunk(
+                    prev, cur, k, rig, cfg, frontend, fparams, image_shape
+                )
+            )
     pairs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pair_outs)
 
     outs = _chain_and_map(pairs, jnp.eye(4), n_pairs)
@@ -585,14 +635,28 @@ def run_stereo_vo_device(
     cur = jax.tree.map(lambda a: a[1:], feats)
     keys = jax.random.split(key, n - 1)
 
-    def pair_fn(x):
-        p, c, k = x
-        return _pair_from_slab(
-            p.feats, p.z, p.z_ok, c, k, rig, cfg, frontend, fparams,
-            image_shape,
-        )
+    if cfg.match_refine_radius > 0:
 
-    pairs = jax.lax.map(pair_fn, (prev, cur, keys), batch_size=pair_batch)
+        def pair_fn(x):
+            p, c, k, ip, ic = x
+            return _pair_from_slab(
+                p.feats, p.z, p.z_ok, c, k, rig, cfg, frontend, fparams,
+                image_shape, ip, ic,
+            )
+
+        operands = (prev, cur, keys, images_l[:-1], images_l[1:])
+    else:
+
+        def pair_fn(x):
+            p, c, k = x
+            return _pair_from_slab(
+                p.feats, p.z, p.z_ok, c, k, rig, cfg, frontend, fparams,
+                image_shape,
+            )
+
+        operands = (prev, cur, keys)
+
+    pairs = jax.lax.map(pair_fn, operands, batch_size=pair_batch)
     return _chain_and_map(pairs, jnp.eye(4), n - 1)
 
 

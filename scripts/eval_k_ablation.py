@@ -38,6 +38,10 @@ def main():
         "--scales", type=float, nargs="+", default=[1.0],
         help="learned-frontend extraction octaves (pyramid)",
     )
+    ap.add_argument(
+        "--refine-radius", type=int, default=0,
+        help="post-match SAD refinement radius px (0 = off)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,6 +67,7 @@ def main():
         orb=OrbConfig(n_features=512, n_levels=8),
         n_hypotheses=1024,
         compose_mode="odometry",
+        match_refine_radius=args.refine_radius,
     )
 
     frontends = {}
