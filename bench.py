@@ -66,18 +66,20 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
-    # headline default is the classical path: it meets the >10x-realtime
-    # north star (107.7 pairs/s measured on v5e, 962/962 tracked); the
-    # trained SP+SG path runs 28.7 pairs/s with better ATE (0.137 vs 0.231)
-    # — benchmark it with --frontend sp. "auto" picks sp when trained
-    # weights exist.
+    # headline default is the classical path (143.4 pairs/s measured on
+    # v5e, 962/962 tracked); the trained SP+SG path runs 101.9 pairs/s
+    # with better ATE (0.167 vs 0.231 m) — benchmark it with
+    # --frontend sp. "auto" picks sp when trained weights exist.
     ap.add_argument("--frontend", choices=["sp", "orb", "auto"], default="orb")
     ap.add_argument("--accuracy", action="store_true")
     ap.add_argument("--profile", type=str, default=None)
     ap.add_argument("--frame-chunk", type=int, default=32)
     ap.add_argument("--pair-chunk", type=int, default=48)
+    # bfloat16 attention softmax measured strictly better for inference:
+    # 101.9 -> 123.2 pairs/s at equal tracking and slightly better ATE
+    # (0.155 vs 0.167 m); training keeps the f32 config default
     ap.add_argument("--sg-softmax", choices=["float32", "bfloat16"],
-                    default="float32")
+                    default="bfloat16")
     ap.add_argument("--refine-radius", type=int, default=0,
                     help="post-match SAD refinement radius px (0 = off)")
     args = ap.parse_args()

@@ -60,7 +60,10 @@ class SuperGlueConfig(NamedTuple):
     attention_impl: str = "xla"
     # Attention softmax dtype on the xla path. The f32 (B, h, K, K) logits
     # round-trip is the dominant HBM traffic of the GNN; "bfloat16" halves
-    # it at ~1e-2 relative error on the attention weights.
+    # it at ~1e-2 relative error on the attention weights (99.2% identical
+    # matches; full-pipeline bench 101.9 -> 123.2 pairs/s at equal
+    # tracking and ATE 0.155 vs 0.167 m — bench.py defaults to bfloat16
+    # for inference; training keeps f32).
     softmax_dtype: str = "float32"
 
 
