@@ -9,9 +9,18 @@ each one at the previous window's corrected boundary pose.
 
 TPU-first structure: every window has the same static shape (W windows x M
 frames x K landmark slots with validity masks); all windows' track tables
-are composed with one vmapped index-chase; the sequential part — windows
-must run in order because each is re-anchored on the previous result — is a
-``lax.scan`` whose body is one fixed-shape BA solve.
+are composed with one vmapped index-chase and ALL windows solve in
+parallel under vmap (each in its own VO coordinates — see solve_window);
+only the final relative-motion chaining is a (trivial) sequential scan.
+
+When BA helps, honestly: windowed BA improves the trajectory when VO is
+noisy (low resolution, degraded inputs — tests/test_window_ba.py asserts
+BA <= VO there), but at the clean-data noise floor the mostly-2-observation
+tracks make windows weakly conditioned and refinement adds cm-scale
+boundary noise that chains into drift (measured on the clean 960x600
+corridor: VO 0.10 m vs BA 0.85-0.92 m over 96 frames, roughly independent
+of depth_weight/gates). Use --ba on hard data, not to polish a healthy VO
+run.
 """
 
 from __future__ import annotations
@@ -189,14 +198,23 @@ def refine_trajectory_ba(
     long_enough = jnp.sum(mask, axis=1) >= cfg.min_obs  # (W, P)
     mask = mask & long_enough[:, None, :]
 
-    def window_body(anchor_corr, inp):
-        """anchor_corr: (4, 4) corrected T_wc of this window's first frame."""
-        T_orig, st, axy, az, obs_w, mask_w, zo_w, zm_w = inp
-        # re-anchor the window on the corrected boundary pose
-        delta = anchor_corr @ se3_inverse(T_orig[0])
-        T_win = jnp.einsum("ij,mjk->mik", delta, T_orig, precision=_HI)
+    def solve_window(T_win, st, axy, az, obs_w, mask_w, zo_w, zm_w):
+        """Refine ONE window in its own VO coordinates.
+
+        Windows are deliberately INDEPENDENT: an earlier design re-anchored
+        each window on the previous window's BA-corrected boundary pose
+        inside a sequential scan, but the cm-scale boundary correction makes
+        the transplanted VO relative poses inconsistent with the gated
+        observations — the reprojection gate then keeps only points that
+        agree with the *shifted* anchor and BA amplifies the error window
+        over window (measured 0.015 -> 0.2 -> 3.5 m over three windows at
+        960x600 while every window solved standalone stays within 2 cm).
+        Solving in VO coordinates keeps gating consistent, and the global
+        trajectory is rebuilt afterwards from refined RELATIVE motions —
+        which also lets all windows solve in parallel under vmap.
+        """
         # landmarks: backprojection from each track's start frame, lifted
-        # to world through that frame's (re-anchored) pose
+        # to world through that frame's pose
         pts_c = backproject_depth(axy, az, cam)  # (P, 3)
         T_anchor = T_win[st]  # (P, 4, 4)
         pts_w = (
@@ -231,10 +249,29 @@ def refine_trajectory_ba(
             fix_first=True,
         )
         T_ref = jax.vmap(se3_inverse)(res.poses)  # (M, 4, 4) T_wc refined
-        return T_ref[-1], T_ref[1:]  # next anchor, refined frames s+1..s+M-1
+        # safety: fall back to the VO window if the solve went non-finite
+        # or failed to reduce the masked cost
+        ok = (
+            jnp.all(jnp.isfinite(T_ref))
+            & jnp.isfinite(res.final_cost)
+            & (res.final_cost <= res.initial_cost)
+        )
+        return jnp.where(ok, T_ref, T_win)
 
-    inputs = (T_w, start, anchor_xy, anchor_z, obs, mask, z_obs, z_mask)
-    last_anchor, refined = jax.lax.scan(window_body, jnp.eye(4), inputs)
+    T_ref_all = jax.vmap(solve_window)(
+        T_w, start, anchor_xy, anchor_z, obs, mask, z_obs, z_mask
+    )  # (W, M, 4, 4)
+
+    # rebuild the global trajectory from each window's refined RELATIVE
+    # motion: T_global[s+j] = anchor_s @ inv(T_ref[0]) @ T_ref[j]
+    def chain(anchor, T_ref):
+        rel = jnp.einsum(
+            "ij,mjk->mik", se3_inverse(T_ref[0]), T_ref, precision=_HI
+        )
+        out = jnp.einsum("ij,mjk->mik", anchor, rel, precision=_HI)
+        return out[-1], out[1:]
+
+    last_anchor, refined = jax.lax.scan(chain, jnp.eye(4), T_ref_all)
     refined = refined.reshape(n_win * stride, 4, 4)  # frames 1..n_win*stride
 
     # frames past the last window boundary: rigidly attach the VO tail to

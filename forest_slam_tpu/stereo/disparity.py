@@ -48,23 +48,45 @@ def _prefilter(img: jax.Array, cap: float) -> jax.Array:
 
 
 def _cost_volume(left: jax.Array, right: jax.Array, cfg: SgmConfig) -> jax.Array:
-    """(D, H, W) SAD cost. Disparity d matches left(x) with right(x - d).
+    """(H, W, D) SAD cost. Disparity d matches left(x) with right(x - d).
 
     Out-of-range columns (x < d) get the maximum cost so they never win.
+
+    Disparity is the MINOR axis: a d-major (D, H, W) stack leaves size-1
+    slices in the lane-tiled position during aggregation transposes — XLA
+    pads each 2.2 MB slice to 281 MB (128x) and the program OOMs at
+    600x960x96 (26.6 GB for a 211 MB volume). With d minor the volume
+    keeps its natural tiling and the vertical SGM scans need no transpose
+    at all.
     """
     H, W = left.shape
+    D = cfg.num_disparities
+    b = cfg.block_size
     pl = _prefilter(left, cfg.prefilter_cap)
     pr = _prefilter(right, cfg.prefilter_cap)
-    max_cost = 2.0 * cfg.prefilter_cap * cfg.block_size * cfg.block_size
+    max_cost = 2.0 * cfg.prefilter_cap * b * b
 
-    def cost_at(d):
-        shifted = jnp.roll(pr, d, axis=1)
-        ad = jnp.abs(pl - shifted)
-        c = box_filter(ad, cfg.block_size, normalize=False)
-        xs = jnp.arange(W)[None, :]
-        return jnp.where(xs >= d, c, max_cost)
-
-    return jnp.stack([cost_at(d) for d in range(cfg.num_disparities)])
+    # ad[y, x, d] = |pl[y, x] - pr[y, x - d]| (zeros outside; masked below).
+    # All D shifted views come from ONE dilated-patches op: building the
+    # volume by stacking 96 per-disparity slices makes XLA materialize each
+    # (H, W, 1) slice with the size-1 axis lane-padded 128x — 281 MB per
+    # 2.2 MB slice, 26.6 GB total at 600x960x96 (OOM on a 16 GB chip).
+    prp = jnp.pad(pr, ((0, 0), (D - 1, 0)))
+    win = jax.lax.conv_general_dilated_patches(
+        prp[None, None], (1, D), (1, 1), "VALID"
+    )[0]  # (D, H, W): win[j, y, x] = pr[y, x + j - (D - 1)]
+    win = jnp.transpose(win, (1, 2, 0))  # (H, W, D)
+    ad = jnp.abs(pl[..., None] - win)[..., ::-1]  # j = D-1-d -> index by d
+    # SAME zero-padded box sum over (y, x) — matches utils.filters.box_filter
+    c = jax.lax.reduce_window(
+        ad, 0.0, jax.lax.add, (b, 1, 1), (1, 1, 1), "SAME"
+    )
+    c = jax.lax.reduce_window(
+        c, 0.0, jax.lax.add, (1, b, 1), (1, 1, 1), "SAME"
+    )
+    xs = jnp.arange(W)[None, :, None]
+    ds = jnp.arange(D)[None, None, :]
+    return jnp.where(xs >= ds, c, max_cost)
 
 
 def _sgm_scan_dir(cost_dw: jax.Array, p1: float, p2: float) -> jax.Array:
@@ -106,17 +128,16 @@ def sgm_disparity(
     """
     H, W = left.shape
     D = cfg.num_disparities
-    vol = _cost_volume(left, right, cfg)  # (D, H, W)
+    vol = _cost_volume(left, right, cfg)  # (H, W, D), d minor
 
     # --- 4-direction aggregation --------------------------------------
-    # horizontal: scan over x; lines = rows. (D,H,W) -> (W, H, D)
-    chw = jnp.transpose(vol, (2, 1, 0))
+    # horizontal: scan over x; lines = rows. (H,W,D) -> (W, H, D)
+    chw = jnp.transpose(vol, (1, 0, 2))
     agg_lr = _sgm_scan_dir(chw, cfg.p1, cfg.p2)
     agg_rl = _sgm_scan_dir(chw[::-1], cfg.p1, cfg.p2)[::-1]
-    # vertical: scan over y; lines = cols. (D,H,W) -> (H, W, D)
-    cvw = jnp.transpose(vol, (1, 2, 0))
-    agg_td = _sgm_scan_dir(cvw, cfg.p1, cfg.p2)
-    agg_bu = _sgm_scan_dir(cvw[::-1], cfg.p1, cfg.p2)[::-1]
+    # vertical: scan over y; lines = cols — already (H, W, D)
+    agg_td = _sgm_scan_dir(vol, cfg.p1, cfg.p2)
+    agg_bu = _sgm_scan_dir(vol[::-1], cfg.p1, cfg.p2)[::-1]
 
     total = (
         jnp.transpose(agg_lr, (1, 0, 2))
