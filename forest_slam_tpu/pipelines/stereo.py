@@ -361,13 +361,19 @@ def _extract_chunk(images_l, images_r, rig, cfg, frontend, fparams):
 
     feats = jax.vmap(lambda l: frontend.extract(fparams, l))(images_l)
     if cfg.dense_depth:
-        def one(l, r, xy):
+        def one(t):
+            l, r, xy = t
             disp = sgm_disparity(l, r, cfg.sgm)
             depth = disparity_to_depth(disp, rig.left.fx, rig.baseline)
             z = depth_at_keypoints(depth, xy)
             return z, jnp.ones(z.shape, bool)
 
-        z, z_ok = jax.vmap(one)(images_l, images_r, feats.xy)
+        # the (H, W, D) SGM volume is ~0.5 GB of live intermediates per
+        # frame at reference scale — sub-batch so a full frame chunk does
+        # not materialize chunk x that at once
+        z, z_ok = jax.lax.map(
+            one, (images_l, images_r, feats.xy), batch_size=2
+        )
         return feats, z, z_ok
 
     from forest_slam_tpu.stereo.sparse import (
