@@ -100,15 +100,16 @@ def _harris(tile: jax.Array, block_size: int, k: float) -> jax.Array:
     ixx, iyy, ixy = gx * gx, gy * gy, gx * gy
 
     def box(a):
+        # separable: rows then cols — 2b adds instead of b^2
         Hc, Wc = Hg - 2 * r, Wg - 2 * r
-        out = None
+        rows = None
         for dy in range(block_size):
-            row = a[dy : dy + Hc]
-            s = None
-            for dx in range(block_size):
-                col = row[:, dx : dx + Wc]
-                s = col if s is None else s + col
-            out = s if out is None else out + s
+            t = a[dy : dy + Hc]
+            rows = t if rows is None else rows + t
+        out = None
+        for dx in range(block_size):
+            t = rows[:, dx : dx + Wc]
+            out = t if out is None else out + t
         return out
 
     bxx, byy, bxy = box(ixx), box(iyy), box(ixy)
@@ -155,6 +156,9 @@ def _detect_kernel(
     # the 24 circular ring diffs are materialized in VMEM and the windowed
     # reductions run as ROLLED fori_loops with dynamic leading-dim indexing
     # — a tiny program with the same arithmetic (frontend/fast.py parity).
+    # (A log-tree through a second VMEM stage buffer was tried: the kernel
+    # already sits at ~15.9 MB of scoped VMEM incl. spills, and the extra
+    # 5.8 MB buffer overflows the 16 MB limit on hardware.)
     s = f_tile[1:-1, 1:-1]
     Hc, Wc = tile_h + 2, Wp + 2
     center = s[3 : 3 + Hc, 3 : 3 + Wc]
