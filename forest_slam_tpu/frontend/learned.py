@@ -97,6 +97,32 @@ class LearnedFrontend:
         merged = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=1), *per_scale
         )
+        # cross-scale near-duplicate suppression: the same corner detected
+        # at several octaves would occupy several of the K slots and
+        # compete against itself in the matcher's mutual-argmax. Quantize
+        # coords to the NMS radius and keep the best-scoring instance per
+        # cell (sort by (cell, -score); a run of equal cells keeps its
+        # first element). Invalid slots get unique sentinel cells.
+        r = max(self.cfg.superpoint.nms_radius, 1)
+        Km = merged.xy.shape[1]
+        cell = (
+            jnp.round(merged.xy[..., 0] / r).astype(jnp.int32)
+            + jnp.round(merged.xy[..., 1] / r).astype(jnp.int32) * 65536
+        )
+        cell = jnp.where(
+            merged.valid, cell, -(jnp.arange(Km, dtype=jnp.int32) + 1)
+        )
+
+        def dup_mask(cell_row, score_row):
+            order = jnp.lexsort((-score_row, cell_row))
+            sc = cell_row[order]
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((1,), bool), sc[1:] == sc[:-1]]
+            )
+            return jnp.zeros((Km,), bool).at[order].set(dup_sorted)
+
+        dup = jax.vmap(dup_mask)(cell, merged.score)
+        merged = merged._replace(valid=merged.valid & ~dup)
         K = self.cfg.superpoint.max_keypoints
         score = jnp.where(merged.valid, merged.score, -jnp.inf)
         _, top = jax.lax.top_k(score, K)  # (B, K)

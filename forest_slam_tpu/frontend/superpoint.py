@@ -162,7 +162,12 @@ def select_keypoints(
     more than r apart in at least one axis, so a b x b block with
     b <= r + 1 holds at most one survivor (ties excepted) — top_k can run
     over per-block maxima (16x fewer elements at b=4) and recover the
-    in-block position afterwards, with identical results.
+    in-block position afterwards. Results match the dense top_k except on
+    exactly-tied scores: the >= NMS comparison lets two equal survivors
+    coexist, and when both land in one block only the argmax-first one is
+    kept, while tie *ordering* across blocks can also differ from the
+    dense path. Real heatmap scores tie with probability ~0; the fixture
+    tests use distinct scores.
     """
     b = 4
     use_blocks = cfg.nms_radius >= b - 1

@@ -186,6 +186,7 @@ def corridor_pair(
     max_corners: int = 48,
     min_forward: float = 0.15,
     max_forward: float = 3.0,
+    noise_sigma: float = 2.0,
 ) -> "TrainingBatch":
     """One 3D-supervised pair from the corridor renderer (io/synthetic.py).
 
@@ -269,8 +270,8 @@ def corridor_pair(
     valid1 = valid0 & in1 & visible
 
     k6, k7 = jax.random.split(ks[6])
-    noise0 = jax.random.normal(k6, img0.shape) * 2.0
-    noise1 = jax.random.normal(k7, img1.shape) * 2.0
+    noise0 = jax.random.normal(k6, img0.shape) * noise_sigma
+    noise1 = jax.random.normal(k7, img1.shape) * noise_sigma
     return TrainingBatch(
         image0=jnp.clip(img0 + noise0, 0, 255),
         image1=jnp.clip(img1 + noise1, 0, 255),
@@ -298,9 +299,14 @@ def make_corridor_pool(
     is re-drawn at sampling time (make_training_batch).
     """
     n_pairs = -(-n_pairs // chunk) * chunk  # round up to whole chunks
+    # pool entries are rendered noise-free: the per-step photometric noise
+    # is added once at sampling time (make_training_batch), so pooled and
+    # on-the-fly corridor samples see the same noise distribution
     fn = jax.jit(
         lambda ks: jax.vmap(
-            lambda k: corridor_pair(k, height, width, max_corners)
+            lambda k: corridor_pair(
+                k, height, width, max_corners, noise_sigma=0.0
+            )
         )(ks)
     )
     keys = jax.random.split(key, n_pairs)

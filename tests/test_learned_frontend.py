@@ -138,3 +138,26 @@ def test_checkpoint_meta_roundtrip(tmp_path):
     a = jax.tree.leaves(params)
     b = jax.tree.leaves(p2)
     assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_multiscale_extract_dedups_cross_scale(rng):
+    """Multi-octave extraction must not spend several of the K slots on the
+    same corner re-detected at different scales (ADVICE r1): after the
+    merge, no two valid keypoints may share an NMS-radius cell."""
+    cfg = LearnedFrontendConfig(
+        superpoint=SuperPointConfig(max_keypoints=64, keypoint_threshold=1e-5),
+        superglue=CFG.superglue,
+        scales=(1.0, 0.5),
+    )
+    fe = LearnedFrontend(cfg)
+    params = fe.init(jax.random.PRNGKey(1), (H, W))
+    imgs = jnp.asarray(rng.integers(0, 255, size=(1, H, W)), jnp.float32)
+    feats = fe.extract(params, imgs)
+    xy = np.asarray(feats.xy[0])
+    valid = np.asarray(feats.valid[0])
+    r = cfg.superpoint.nms_radius
+    cells = set()
+    for p in xy[valid]:
+        c = (round(p[0] / r), round(p[1] / r))
+        assert c not in cells, f"duplicate cell {c}"
+        cells.add(c)
