@@ -29,6 +29,10 @@ def _add_common(p, stereo: bool):
     src.add_argument(
         "--synthetic", type=int, metavar="N", help="render N synthetic frames"
     )
+    p.add_argument("--scene", choices=["corridor", "forest"],
+                   default="corridor",
+                   help="synthetic world: textured corridor or trunked "
+                        "forest (the BotanicGarden-domain proxy)")
     p.add_argument("--out", required=True, help="output TUM trajectory path")
     p.add_argument("--frontend", choices=["orb", "sp"], default="orb")
     p.add_argument("--weights", default=None, help="learned-frontend checkpoint")
@@ -45,6 +49,10 @@ def _add_common(p, stereo: bool):
     p.add_argument("--blur-angle", type=float, default=0.0)
     p.add_argument("--metrics-out", default=None,
                    help="write per-frame metrics as JSON lines")
+    p.add_argument("--debug-matches", default=None, metavar="DIR",
+                   help="write side-by-side keypoint/match pngs for a "
+                        "sample of frame pairs (the reference's drawMatches "
+                        "debug surface, stereo_slam.py:248-260)")
     if stereo:
         p.add_argument("--map-out", default=None, help="PLY map output path")
         p.add_argument("--voxel", type=float, default=None,
@@ -97,13 +105,67 @@ def _build_frontend(args, cfg_orb, image_shape):
     return learned_frontend(fe), params
 
 
+def _dump_match_debug(
+    out_dir, images, frontend, fparams, refine_radius=0, max_pairs=8
+):
+    """Render match-debug pngs for an even sample of consecutive pairs.
+
+    Runs the front-end exactly as the pipeline does (extraction + matching
+    on the temporal stream, plus the SAD refinement when the pipeline has
+    it on) and draws what the matcher saw — keypoints in both frames,
+    match lines, refinement arrows.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from forest_slam_tpu.eval.plots import plot_matches
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = images.shape[0] - 1
+    idx = np.unique(np.linspace(0, n - 1, min(max_pairs, n)).astype(int))
+    extract = jax.jit(frontend.extract)
+    match = jax.jit(frontend.match, static_argnums=(3,))
+    shape = tuple(int(s) for s in images.shape[1:])
+    for i in idx:
+        img0 = jnp.asarray(images[i], jnp.float32)
+        img1 = jnp.asarray(images[i + 1], jnp.float32)
+        f0 = extract(fparams, img0)
+        f1 = extract(fparams, img1)
+        m = match(fparams, f0, f1, shape)
+        refined = None
+        if refine_radius > 0:
+            from forest_slam_tpu.frontend.refine import (
+                RefineConfig,
+                refine_matches,
+            )
+
+            xy1 = f1.xy[jnp.clip(m, 0)]
+            refined, _ = refine_matches(
+                img0, img1, f0.xy, xy1, m >= 0,
+                RefineConfig(radius=refine_radius),
+            )
+        stats = plot_matches(
+            os.path.join(out_dir, f"matches_{i:05d}.png"),
+            np.asarray(img0), np.asarray(img1),
+            f0.xy, f1.xy, matches0=m,
+            valid0=f0.valid, valid1=f1.valid,
+            xy1_refined=refined,
+            title=f"{frontend.name} pair {i}->{i + 1}",
+        )
+        print(f"debug-matches: pair {i}: {stats['n_matches']} matches")
+
+
 def _get_mono_inputs(args):
     import numpy as np
 
     if args.synthetic:
         from forest_slam_tpu.io.synthetic import render_sequence
 
-        seq = render_sequence(args.synthetic, height=160, width=224, seed=args.seed)
+        seq = render_sequence(args.synthetic, height=160, width=224,
+                              seed=args.seed, scene=args.scene)
         return seq.images_left, seq.timestamps, seq.rig.left
     from forest_slam_tpu.io.calib import botanic_garden_left
     from forest_slam_tpu.io.dataset import load_mono_from_bag
@@ -137,6 +199,8 @@ def cmd_mono(args) -> int:
     ok = np.asarray(outs.ok)
     print(f"mono: {len(traj)} poses -> {args.out} "
           f"(tracked {int(ok.sum())}/{ok.size})")
+    if args.debug_matches:
+        _dump_match_debug(args.debug_matches, images, frontend, fparams)
     return 0
 
 
@@ -151,7 +215,8 @@ def cmd_stereo(args) -> int:
     if args.synthetic:
         from forest_slam_tpu.io.synthetic import render_sequence
 
-        seq = render_sequence(args.synthetic, height=160, width=224, seed=args.seed)
+        seq = render_sequence(args.synthetic, height=160, width=224,
+                              seed=args.seed, scene=args.scene)
         il, ir, ts, rig = seq.images_left, seq.images_right, seq.timestamps, seq.rig
         from forest_slam_tpu.stereo import SgmConfig
 
@@ -203,6 +268,11 @@ def cmd_stereo(args) -> int:
         )
         write_ply(args.map_out, cloud)
         print(f"map: {cloud.shape[0]} points -> {args.map_out}")
+    if args.debug_matches:
+        _dump_match_debug(
+            args.debug_matches, il, frontend, fparams,
+            refine_radius=cfg.match_refine_radius,
+        )
     return 0
 
 
@@ -219,7 +289,8 @@ def cmd_slam(args) -> int:
         from forest_slam_tpu.io.synthetic import render_sequence
         from forest_slam_tpu.stereo import SgmConfig
 
-        seq = render_sequence(args.synthetic, height=160, width=224, seed=args.seed)
+        seq = render_sequence(args.synthetic, height=160, width=224,
+                              seed=args.seed, scene=args.scene)
         il, ir, ts, rig = seq.images_left, seq.images_right, seq.timestamps, seq.rig
         stereo = StereoConfig(
             sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode
@@ -267,6 +338,11 @@ def cmd_slam(args) -> int:
         f"slam: {len(traj)} poses -> {args.out} "
         f"(tracked {int(ok.sum())}/{ok.size}, loops {int(outs.n_loops)})"
     )
+    if args.debug_matches:
+        _dump_match_debug(
+            args.debug_matches, il, frontend, fparams,
+            refine_radius=stereo.match_refine_radius,
+        )
     return 0
 
 

@@ -89,6 +89,116 @@ def make_corridor_world(
     )
 
 
+class ForestWorld(NamedTuple):
+    """Trunked forest scene for the same ray-caster: textured ground +
+    overhead canopy + far side walls, plus N vertical cylinder trunks with
+    a shared bark texture. The closest honest offline proxy for the
+    BotanicGarden domain (dense vegetation, occlusion, depth
+    discontinuities — reference README.md:2-8): trunks occlude each other
+    and the ground, and depth jumps by metres across trunk silhouettes."""
+
+    planes: tuple[Plane, ...]
+    textures: jax.Array  # (P, TH, TW)
+    texture_scale: float
+    trunks: jax.Array  # (N, 5): cx, cz, radius, height, texture u-offset
+    trunk_texture: jax.Array  # (TH, TW) bark
+    ground_y: float
+
+
+def make_forest_world(
+    key: jax.Array,
+    n_trees: int = 150,
+    extent_x: float = 14.0,
+    z_range: tuple[float, float] = (-5.0, 75.0),
+    clear_half_width: float = 1.6,
+    ground_y: float = 1.5,
+    canopy_height: float = 6.0,
+    texture_px: int = 1024,
+    texture_scale: float = 0.05,
+) -> ForestWorld:
+    """Scattered vertical trunks + ground clutter + canopy + far walls.
+
+    Trunks are uniform over x in [-extent_x, extent_x] excluding the
+    camera's walking band |x| < clear_half_width, z in z_range, with
+    radii 0.12-0.45 m and heights reaching the canopy. The bark texture
+    is streaked vertically (noise smoothed along v) so trunks look
+    different from the ground clutter and are feature-rich.
+    """
+    keys = jax.random.split(key, 9)
+    kernel = jnp.array([0.25, 0.5, 0.25])
+
+    def smooth(t, axis, reps=1):
+        for _ in range(reps):
+            t = jnp.apply_along_axis(
+                lambda r: jnp.convolve(r, kernel, mode="same"), axis, t
+            )
+        return t
+
+    def noise(k, reps_y=1, reps_x=1):
+        t = jax.random.uniform(k, (texture_px, texture_px), minval=0.0, maxval=255.0)
+        return smooth(smooth(t, 0, reps_y), 1, reps_x)
+
+    # ground: multi-octave clutter (coarse blobs + fine grain)
+    coarse = jax.random.uniform(keys[0], (texture_px // 8, texture_px // 8))
+    coarse = jax.image.resize(coarse, (texture_px, texture_px), "bilinear")
+    ground_tex = jnp.clip(
+        0.55 * coarse * 255.0 + 0.45 * noise(keys[1]), 0.0, 255.0
+    )
+    canopy_tex = jnp.clip(
+        0.5 * noise(keys[2], 3, 3) + 0.5 * noise(keys[3]), 0.0, 255.0
+    )
+    wall_l = noise(keys[4], 2, 2)
+    wall_r = noise(keys[5], 2, 2)
+    # bark: smooth strongly along v (axis 0) -> vertical streaks
+    bark = noise(keys[6], 8, 1)
+
+    planes = (
+        Plane(  # ground
+            origin=jnp.array([0.0, ground_y, 0.0]),
+            e1=jnp.array([1.0, 0.0, 0.0]),
+            e2=jnp.array([0.0, 0.0, 1.0]),
+        ),
+        Plane(  # canopy overhead
+            origin=jnp.array([0.0, ground_y - canopy_height, 0.0]),
+            e1=jnp.array([1.0, 0.0, 0.0]),
+            e2=jnp.array([0.0, 0.0, 1.0]),
+        ),
+        Plane(  # distant left wall (dense-forest backdrop)
+            origin=jnp.array([-extent_x - 2.0, ground_y - canopy_height, 0.0]),
+            e1=jnp.array([0.0, 0.0, 1.0]),
+            e2=jnp.array([0.0, 1.0, 0.0]),
+        ),
+        Plane(  # distant right wall
+            origin=jnp.array([extent_x + 2.0, ground_y - canopy_height, 0.0]),
+            e1=jnp.array([0.0, 0.0, 1.0]),
+            e2=jnp.array([0.0, 1.0, 0.0]),
+        ),
+    )
+    textures = jnp.stack([ground_tex, canopy_tex, wall_l, wall_r])
+
+    ku = jax.random.split(keys[7], 4)
+    side = jnp.where(jax.random.uniform(ku[0], (n_trees,)) < 0.5, -1.0, 1.0)
+    cx = side * jax.random.uniform(
+        ku[1], (n_trees,), minval=clear_half_width, maxval=extent_x
+    )
+    z0, z1 = z_range
+    cz = jax.random.uniform(ku[2], (n_trees,), minval=z0, maxval=z1)
+    radius = jax.random.uniform(ku[3], (n_trees,), minval=0.12, maxval=0.45)
+    height = jnp.full((n_trees,), canopy_height)
+    u_off = jax.random.uniform(
+        keys[8], (n_trees,), minval=0.0, maxval=float(texture_px)
+    )
+    trunks = jnp.stack([cx, cz, radius, height, u_off], axis=1)
+    return ForestWorld(
+        planes=planes,
+        textures=textures,
+        texture_scale=texture_scale,
+        trunks=trunks,
+        trunk_texture=bark,
+        ground_y=ground_y,
+    )
+
+
 def _sample_texture(tex: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """Bilinear sample with wraparound (textures tile along the corridor)."""
     TH, TW = tex.shape
@@ -111,16 +221,16 @@ def _sample_texture(tex: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def render_view(
-    world: CorridorWorld,
+    world,
     T_world_cam: jax.Array,
     K: jax.Array,
     height: int,
     width: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Render one camera view.
+    """Render one camera view of a CorridorWorld or ForestWorld.
 
     Returns (image (H, W) float32 in [0, 255], depth (H, W) float32 —
-    z-depth in the camera frame, inf where no plane is hit).
+    z-depth in the camera frame, inf where nothing is hit).
     """
     ys = jnp.arange(height, dtype=jnp.float32)
     xs = jnp.arange(width, dtype=jnp.float32)
@@ -142,7 +252,8 @@ def render_view(
         tnum = jnp.dot(plane.origin - o, n)
         t = tnum / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
         hit = t > 1e-3
-        # z-depth along the camera axis, not ray length
+        # z-depth along the camera axis, not ray length (dirs_cam z = 1,
+        # so the ray parameter t IS the z-depth for planes and trunks)
         zdepth = t * dirs_cam[..., 2]
         point = o[None, None, :] + t[..., None] * dirs
         rel = point - plane.origin
@@ -152,6 +263,61 @@ def render_view(
         closer = hit & (zdepth < best_depth) & (zdepth > 0)
         best_depth = jnp.where(closer, zdepth, best_depth)
         best_val = jnp.where(closer, val, best_val)
+
+    if isinstance(world, ForestWorld):
+        best_val, best_depth = _raycast_trunks(
+            world, o, dirs, best_val, best_depth
+        )
+    return best_val, best_depth
+
+
+def _raycast_trunks(
+    world: "ForestWorld",
+    o: jax.Array,  # (3,) camera origin, world frame
+    dirs: jax.Array,  # (H, W, 3) unnormalized rays (z-depth = ray param)
+    best_val: jax.Array,
+    best_depth: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Intersect every ray with every vertical cylinder trunk (lax.scan
+    over trunks keeps memory at one (H, W) slab per accumulator — a
+    broadcast (H, W, N) volume would be GBs at 960x600 x 150 trees)."""
+    dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    a = dx * dx + dz * dz  # (H, W), > 0 unless ray is vertical
+
+    def one_trunk(carry, trunk):
+        best_val, best_depth = carry
+        tcx, tcz, radius, h, u_off = (
+            trunk[0], trunk[1], trunk[2], trunk[3], trunk[4],
+        )
+        ox = o[0] - tcx
+        oz = o[2] - tcz
+        b = 2.0 * (ox * dx + oz * dz)
+        c = ox * ox + oz * oz - radius * radius
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-b - sq) / (2.0 * jnp.maximum(a, 1e-12))  # near intersection
+        y = o[1] + t * dy
+        hit = (
+            (disc > 0.0)
+            & (t > 1e-3)
+            & (y <= world.ground_y)
+            & (y >= world.ground_y - h)
+        )
+        px = o[0] + t * dx
+        pz = o[2] + t * dz
+        az = jnp.arctan2(pz - tcz, px - tcx)
+        u = az * radius / world.texture_scale + u_off
+        v = y / world.texture_scale
+        val = _sample_texture(world.trunk_texture, u, v)
+        closer = hit & (t < best_depth)
+        return (
+            jnp.where(closer, val, best_val),
+            jnp.where(closer, t, best_depth),
+        ), None
+
+    (best_val, best_depth), _ = jax.lax.scan(
+        one_trunk, (best_val, best_depth), world.trunks
+    )
     return best_val, best_depth
 
 
@@ -275,9 +441,19 @@ def render_sequence(
     seed: int = 0,
     speed: float = 0.15,
     dt: float = 0.1,
+    scene: str = "corridor",
 ) -> SyntheticSequence:
-    """Render a full stereo sequence (host convenience wrapper)."""
-    world = make_corridor_world(jax.random.PRNGKey(seed))
+    """Render a full stereo sequence (host convenience wrapper).
+
+    ``scene``: "corridor" (textured box world) or "forest" (trunks +
+    clutter + occlusion — the BotanicGarden-domain proxy)."""
+    if scene == "forest":
+        world = make_forest_world(
+            jax.random.PRNGKey(seed),
+            z_range=(-5.0, n_frames * speed + 20.0),
+        )
+    else:
+        world = make_corridor_world(jax.random.PRNGKey(seed))
     rig = default_rig(height, width)
     Ts = corridor_trajectory(n_frames, speed=speed)
     imgs_l, imgs_r, deps_l = _render_sequence_stacks(

@@ -59,3 +59,42 @@ def test_plot_helpers_on_synthetic(tmp_path):
     plot_speeds(str(tmp_path / "s.png"), {"est": est}, gt=gt)
     for f in ["t.png", "x.png", "s.png"]:
         assert (tmp_path / f).exists()
+
+
+def test_plot_matches_sink(tmp_path):
+    from forest_slam_tpu.eval.plots import plot_matches
+
+    rng = np.random.default_rng(1)
+    img0 = rng.integers(0, 255, (60, 80)).astype(np.float32)
+    img1 = rng.integers(0, 255, (60, 80)).astype(np.float32)
+    K = 32
+    xy0 = rng.uniform([0, 0], [80, 60], (K, 2))
+    xy1 = rng.uniform([0, 0], [80, 60], (K, 2))
+    matches0 = np.full(K, -1, np.int32)
+    matches0[:10] = np.arange(10)
+    valid0 = np.ones(K, bool)
+    valid0[-4:] = False
+    refined = xy1 + 1.5
+    p = tmp_path / "m.png"
+    stats = plot_matches(
+        str(p), img0, img1, xy0, xy1, matches0=matches0,
+        valid0=valid0, xy1_refined=refined, title="t",
+    )
+    assert p.exists() and p.stat().st_size > 5000
+    assert stats["n_matches"] == 10
+    assert stats["n_kpts0"] == K - 4
+
+
+def test_debug_matches_cli_flag(tmp_path):
+    out = tmp_path / "traj.txt"
+    dbg = tmp_path / "dbg"
+    rc = main(
+        [
+            "stereo", "--synthetic", "6", "--out", str(out),
+            "--debug-matches", str(dbg), "--compose-mode", "odometry",
+        ]
+    )
+    assert rc == 0
+    pngs = list(dbg.glob("matches_*.png"))
+    assert len(pngs) >= 1
+    assert all(p.stat().st_size > 5000 for p in pngs)
