@@ -1,0 +1,250 @@
+"""Fused per-keypoint 2D SAD template-search kernel (Pallas/TPU).
+
+The XLA cost-volume path in frontend/refine.py pays per-keypoint
+dynamic-slice/gather overhead, which grows worse under the pipeline's
+pair-chunk vmap (slices become gathers). This kernel removes the HBM
+gathers the same way stereo/pallas_sparse.py does: both images are DMA'd
+to VMEM once per (pair, keypoint-chunk) grid step and every per-keypoint
+access is an in-VMEM aligned load + rotate.
+
+Honest timing (v5e, 960x600, K=1024, R=24, batched B=8, host-fetch,
+scan-rep with real iteration dependence): pallas 11.3 ms/pair vs
+XLA-batched 10.5 — the kernel currently only matches XLA here; its
+advantage is flat scaling in R (in-VMEM loads are O(1) in R) and immunity
+to vmap-gather blowup. Known headroom (not yet taken): one (72, 256)
+window load per keypoint instead of 49 per-dy loads, and one (n, 128)
+store per keypoint instead of 49 dynamic-sublane row stores.
+
+Structure (deliberately restricted to the access patterns already proven
+on this toolchain by stereo/pallas_sparse.py — an earlier draft using
+multi-tile dynamic sublane rolls compiled 20 minutes and miscompiled):
+
+  phase A (fori over k):  template (t x t) -> tpl_buf scratch (Kb, 8, 128)
+  phase B (static dy loop x fori over k):
+    band (8, 128) <- aligned (16, 256) load + rolls at (y1_k + dy, x1_k)
+    acc(ty, dx)   = sum_tx |tpl[ty, tx] - band[ty, dx + tx]|
+                    (lane_bcast of tpl columns vs static lane rolls)
+    cost(dy, dx)  = sum_{ty < t} acc  ->  one (1, 128) row store at
+                    [k, dy, :] (dynamic index on the k axis only)
+
+Cost semantics match refine.py's ``_cost_volume_xla`` (equivalence-tested
+in tests/test_refine.py; summation order differs, so f32 agreement is to
+rounding, not bit-exact).
+
+Constraints: t <= 8 (one sublane tile holds the template) and
+n + t - 1 <= 128 (lane rolls never wrap into the valid dx range), i.e.
+R <= 60 at t = 8; the pipeline uses R = 8..24.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _refine_kernel(
+    xi0_ref,  # (B, Kp) int32 SMEM (scalar prefetch) — frame-0 kpt cols
+    yi0_ref,  # (B, Kp) int32 SMEM
+    xi1_ref,  # (B, Kp) int32 SMEM — frame-1 match-estimate cols
+    yi1_ref,  # (B, Kp) int32 SMEM
+    img0_ref,  # (B, Hp0, Wp0) f32 ANY — frame 0, padded
+    img1_ref,  # (B, Hp1, Wp1) f32 ANY — frame 1, padded
+    cost_ref,  # (1, Kb, n_up, 128) f32 out block (VMEM)
+    v0,  # (Hp0, Wp0) VMEM scratch
+    v1,  # (Hp1, Wp1) VMEM scratch
+    tpl_buf,  # (Kb, 8, 128) VMEM scratch — phase-A templates
+    sem0,
+    sem1,
+    *,
+    Kb: int,
+    t: int,
+    R: int,
+):
+    b = pl.program_id(0)
+    kc = pl.program_id(1)
+    n = 2 * R + 1
+    k0 = kc * Kb
+
+    # DMA the pair's images every grid step (no reliance on scratch
+    # persistence across steps; ~0.15 ms/pair of extra HBM traffic at
+    # 960x600 x 16 chunks — small next to the gathers it replaces)
+    cp0 = pltpu.make_async_copy(img0_ref.at[b], v0, sem0)
+    cp1 = pltpu.make_async_copy(img1_ref.at[b], v1, sem1)
+    cp0.start()
+    cp1.start()
+    cp0.wait()
+    cp1.wait()
+
+    row_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) < t
+    ).astype(jnp.float32)
+
+    def load8(vmem, y, x):
+        # the proven aligned-load pattern: fetch the (16, 256) super-tile
+        # containing (y, x), rotate the remainder offsets away, keep the
+        # leading (8, 128) corner
+        ybase = (y // 8) * 8
+        xbase = (x // 128) * 128
+        tile = vmem[pl.ds(ybase, 16), pl.ds(xbase, 256)]
+        tile = pltpu.roll(tile, (16 - (y - ybase)) % 16, 0)
+        tile = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
+        return tile[:8, :128]
+
+    def phase_a(k, _):
+        tpl = load8(v0, yi0_ref[b, k0 + k], xi0_ref[b, k0 + k])
+        tpl_buf[pl.ds(k, 1)] = tpl[None]
+        return 0
+
+    jax.lax.fori_loop(0, Kb, phase_a, 0)
+
+    for dy in range(n):
+
+        def phase_b(k, _):
+            tpl = tpl_buf[k]  # (8, 128)
+            band = load8(v1, yi1_ref[b, k0 + k] + dy, xi1_ref[b, k0 + k])
+            acc = jnp.zeros((8, 128), jnp.float32)
+            for tx in range(t):
+                tcol = jax.lax.broadcast_in_dim(
+                    jax.lax.slice(tpl, (0, tx), (8, tx + 1)), (8, 128), (0, 1)
+                )
+                shifted = band if tx == 0 else pltpu.roll(band, 128 - tx, 1)
+                acc = acc + jnp.abs(tcol - shifted)
+            cost_row = jnp.sum(acc * row_ok, axis=0, keepdims=True)
+            cost_ref[0, pl.ds(k, 1), dy, :] = cost_row
+            return 0
+
+        jax.lax.fori_loop(0, Kb, phase_b, 0)
+
+
+def refine_cost_volume_pallas(
+    img0: jax.Array,  # (B, H, W) frame 0
+    img1: jax.Array,  # (B, H, W) frame 1
+    xi0: jax.Array,  # (B, K) int32 frame-0 keypoint cols
+    yi0: jax.Array,
+    xi1: jax.Array,  # (B, K) int32 frame-1 estimate cols
+    yi1: jax.Array,
+    template: int,
+    radius: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, K, n, n) SAD cost, n = 2*radius + 1 — refine.py semantics."""
+    B, H, W = img0.shape
+    t = template
+    R = radius
+    ht = t // 2
+    n = 2 * R + 1
+    if t > 8 or n + t - 1 > 128:
+        raise ValueError(f"pallas refine needs t<=8, 2R+t<=128; got {t}, {R}")
+    K = xi0.shape[1]
+    Kb = min(128, K)
+    Kp = _round_up(K, Kb)
+    if Kp != K:
+        pad = ((0, 0), (0, Kp - K))
+        xi0, yi0, xi1, yi1 = (jnp.pad(a, pad) for a in (xi0, yi0, xi1, yi1))
+    n_up = _round_up(n, 8)
+
+    # frame 0: template start (y0 - ht) + pad offset ht = y0; phase-B band
+    # starts reach (y1 - ht - R) + (n - 1) + pad offset (ht + R) = y1 + n-1.
+    # Aligned (16, 256) loads need +16 rows / +256 lanes past the largest
+    # aligned base.
+    Hp0 = _round_up(H + ht + 24, 8)
+    Wp0 = _round_up(W + ht, 128) + 256
+    p0 = jnp.zeros((B, Hp0, Wp0), jnp.float32)
+    p0 = p0.at[:, ht : ht + H, ht : ht + W].set(img0.astype(jnp.float32))
+    off1 = ht + R
+    Hp1 = _round_up(H + off1 + n + 24, 8)
+    Wp1 = _round_up(W + off1, 128) + 256
+    p1 = jnp.zeros((B, Hp1, Wp1), jnp.float32)
+    p1 = p1.at[:, off1 : off1 + H, off1 : off1 + W].set(
+        img1.astype(jnp.float32)
+    )
+
+    kernel = functools.partial(_refine_kernel, Kb=Kb, t=t, R=R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, Kp // Kb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Kb, n_up, 128),
+            lambda b, kc, *_: (b, kc, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Hp0, Wp0), jnp.float32),
+            pltpu.VMEM((Hp1, Wp1), jnp.float32),
+            pltpu.VMEM((Kb, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    cost = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kp, n_up, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        xi0.astype(jnp.int32),
+        yi0.astype(jnp.int32),
+        xi1.astype(jnp.int32),
+        yi1.astype(jnp.int32),
+        p0,
+        p1,
+    )
+    return cost[:, :K, :n, :n]
+
+
+def _make_single(t: int, R: int, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def f(img0, img1, xi0, yi0, xi1, yi1):
+        return refine_cost_volume_pallas(
+            img0[None], img1[None], xi0[None], yi0[None], xi1[None],
+            yi1[None], t, R, interpret=interpret,
+        )[0]
+
+    @f.def_vmap
+    def f_vmap(axis_size, in_batched, img0, img1, xi0, yi0, xi1, yi1):
+        del axis_size
+        assert all(in_batched), "refine_cost_volume: vmap needs all batched"
+        out = refine_cost_volume_pallas(
+            img0, img1, xi0, yi0, xi1, yi1, t, R, interpret=interpret
+        )
+        return out, True
+
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _single_cached(t: int, R: int, interpret: bool):
+    return _make_single(t, R, interpret)
+
+
+def refine_cost_volume(
+    img0: jax.Array,  # (H, W)
+    img1: jax.Array,
+    xi0: jax.Array,  # (K,) int32
+    yi0: jax.Array,
+    xi1: jax.Array,
+    yi1: jax.Array,
+    template: int,
+    radius: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-frame (K, n, n) cost; vmap-compatible (a vmapped call routes
+    to the kernel's native batch grid, as in stereo/pallas_sparse.py)."""
+    f = _single_cached(int(template), int(radius), bool(interpret))
+    return f(
+        img0, img1,
+        xi0.astype(jnp.int32), yi0.astype(jnp.int32),
+        xi1.astype(jnp.int32), yi1.astype(jnp.int32),
+    )

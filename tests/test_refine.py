@@ -45,3 +45,85 @@ def test_invalid_and_border_points_pass_through():
     ok = np.asarray(ok)
     assert not ok[0] and not ok[1]
     np.testing.assert_allclose(np.asarray(ref), np.asarray(xy1))
+
+
+def test_pallas_cost_volume_matches_xla():
+    """The fused TPU kernel's cost volume equals the XLA tap-accumulation
+    path (interpret mode on CPU; summation order differs -> allclose)."""
+    from forest_slam_tpu.frontend.pallas_refine import refine_cost_volume
+    from forest_slam_tpu.frontend.refine import _cost_volume_xla
+
+    key = jax.random.PRNGKey(0)
+    H, W = 96, 144
+    img0 = jax.random.uniform(key, (H, W)) * 255
+    img1 = jnp.roll(img0, 3, axis=1) + 1.0
+    K = 16
+    rng = np.random.default_rng(0)
+    xi0 = jnp.asarray(rng.integers(0, W, K), jnp.int32)
+    yi0 = jnp.asarray(rng.integers(0, H, K), jnp.int32)
+    xi1 = jnp.asarray(rng.integers(0, W, K), jnp.int32)
+    yi1 = jnp.asarray(rng.integers(0, H, K), jnp.int32)
+    for t, R in [(8, 12), (8, 4), (6, 7)]:
+        ref = _cost_volume_xla(img0, img1, xi0, yi0, xi1, yi1, t, R)
+        got = refine_cost_volume(
+            img0, img1, xi0, yi0, xi1, yi1, t, R, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-3
+        )
+
+
+def test_pallas_cost_volume_vmap_batches():
+    from forest_slam_tpu.frontend.pallas_refine import refine_cost_volume
+    from forest_slam_tpu.frontend.refine import _cost_volume_xla
+
+    key = jax.random.PRNGKey(1)
+    B, H, W, K = 3, 64, 128, 8
+    img0 = jax.random.uniform(key, (B, H, W)) * 255
+    img1 = jnp.flip(img0, axis=2)
+    rng = np.random.default_rng(1)
+    xi0 = jnp.asarray(rng.integers(0, W, (B, K)), jnp.int32)
+    yi0 = jnp.asarray(rng.integers(0, H, (B, K)), jnp.int32)
+    xi1 = jnp.asarray(rng.integers(0, W, (B, K)), jnp.int32)
+    yi1 = jnp.asarray(rng.integers(0, H, (B, K)), jnp.int32)
+    got = jax.vmap(
+        lambda a, b, c, d, e, f: refine_cost_volume(
+            a, b, c, d, e, f, 8, 6, interpret=True
+        )
+    )(img0, img1, xi0, yi0, xi1, yi1)
+    ref = jax.vmap(
+        lambda a, b, c, d, e, f: _cost_volume_xla(a, b, c, d, e, f, 8, 6)
+    )(img0, img1, xi0, yi0, xi1, yi1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_refine_matches_pallas_path_end_to_end():
+    """refine_matches with cost_path=pallas_interpret reproduces the xla
+    path's refined coords and ok mask on a clean shift."""
+    key = jax.random.PRNGKey(0)
+    H, W = 96, 128
+    img0 = jax.random.uniform(key, (H, W)) * 255
+    img1 = jnp.roll(img0, 4, axis=1)
+    K = 32
+    xy0 = jnp.stack(
+        [
+            jax.random.uniform(jax.random.PRNGKey(1), (K,)) * 80 + 24,
+            jax.random.uniform(jax.random.PRNGKey(2), (K,)) * 48 + 24,
+        ],
+        axis=1,
+    ).round()
+    xy1 = xy0 + jnp.array([4.0, 0.0]) + 3.0
+    valid = jnp.ones((K,), bool)
+    ref_x, ok_x = refine_matches(
+        img0, img1, xy0, xy1, valid, RefineConfig(radius=8, cost_path="xla")
+    )
+    ref_p, ok_p = refine_matches(
+        img0, img1, xy0, xy1, valid,
+        RefineConfig(radius=8, cost_path="pallas_interpret"),
+    )
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+    np.testing.assert_allclose(
+        np.asarray(ref_p), np.asarray(ref_x), atol=1e-3
+    )

@@ -109,9 +109,80 @@ def test_sharded_train_step_on_mesh():
     step, sstate = make_sharded_train_step(mesh, state, TINY)
     new_state, metrics = step(sstate, batch)
     assert float(new_state.step) == 1
+    # TP(4) numerical equivalence with the unsharded step (VERDICT r1 weak
+    # #7). Calibration note: this model's f32 gradient is CHAOTIC through
+    # the detector's top-k keypoint selection — measured on this exact
+    # setup, a 1e-6 relative param perturbation moves the unsharded
+    # gradient to cos 0.966 / reldist 0.26, and even pure dp2 sharding
+    # (mathematically exact per-example resummation) lands at cos 0.982.
+    # Gradient *direction* therefore cannot distinguish a correct sharding
+    # from reassociation noise below that envelope; the gates are the
+    # loss, the gradient/update norms, and a cosine floor set just above
+    # what a genuinely wrong rule (missing psum: ~0.5x norm, cos << 0.9)
+    # would produce.
     np.testing.assert_allclose(
-        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-2
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-3
     )
+
+    def upd_norm(new, old):
+        return float(
+            sum(
+                float(jnp.sum((a - b) ** 2))
+                for a, b in zip(jax.tree.leaves(new), jax.tree.leaves(old))
+            )
+            ** 0.5
+        )
+
+    n_ref = upd_norm(ref_state.params, state.params)
+    n_got = upd_norm(new_state.params, state.params)
+    assert n_ref > 0
+    # Adam normalizes per-param, so gradient-noise sign flips on ~zero-grad
+    # params move the update norm more than the gradient norm; 5% bounds it
+    np.testing.assert_allclose(n_got, n_ref, rtol=5e-2)
+
+    # gradient equivalence: TP-sharded backward pass vs single-device
+    from forest_slam_tpu.parallel.mesh import batch_shardings, param_shardings
+    from forest_slam_tpu.train.trainer import loss_fn
+
+    g_ref = jax.jit(
+        lambda p, b: jax.grad(loss_fn, has_aux=True)(p, b, TINY)
+    )(state.params, batch)[0]
+    g_tp = jax.jit(
+        lambda p, b: jax.grad(loss_fn, has_aux=True)(p, b, TINY),
+        in_shardings=(
+            param_shardings(state.params, mesh),
+            batch_shardings(batch, mesh),
+        ),
+    )(sstate.params, batch)[0]
+    ref_leaves, treedef = jax.tree.flatten(g_ref)
+    got_leaves = treedef.flatten_up_to(g_tp)
+    r_all = np.concatenate(
+        [np.asarray(r, np.float64).ravel() for r in ref_leaves]
+    )
+    g_all = np.concatenate(
+        [np.asarray(g, np.float64).ravel() for g in got_leaves]
+    )
+    global_norm = np.linalg.norm(r_all)
+    assert global_norm > 0
+    # measured noise envelope (see calibration note above): dp2-only
+    # cos 0.982, dp2xtp4 cos 0.975, eps-probe cos 0.966 — gate at 0.9,
+    # well above any wrong-collective failure mode
+    cos = float(r_all @ g_all) / (global_norm * np.linalg.norm(g_all))
+    assert cos > 0.9, f"global gradient direction diverged (cos={cos})"
+    np.testing.assert_allclose(
+        np.linalg.norm(g_all), global_norm, rtol=5e-2
+    )
+    # per-leaf norm agreement for every leaf that carries real signal
+    # (measured spread under pure reassociation noise is <~3%)
+    checked = 0
+    for r, g in zip(ref_leaves, got_leaves):
+        nr = float(np.linalg.norm(np.asarray(r, np.float64)))
+        ng = float(np.linalg.norm(np.asarray(g, np.float64)))
+        if nr < 1e-3 * global_norm:
+            continue
+        checked += 1
+        np.testing.assert_allclose(ng, nr, rtol=1e-1)
+    assert checked > 20  # the filter must not skip the real gradients
     # params actually sharded over the model axis
     kernels = [
         x for x in jax.tree.leaves(new_state.params)
