@@ -98,12 +98,10 @@ def main() -> None:
 
     # persistent compilation cache: a cold process pays ~7.5 min compiling
     # the renderer + pipeline; subsequent bench runs on this machine reuse
-    # the compiled executables
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fs")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # the compiled executables (per-platform dir — see utils)
+    from forest_slam_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from forest_slam_tpu.frontend import OrbConfig

@@ -100,7 +100,8 @@ def _compose_tracks(xy_w, valid_w, matches_w, z_w, z_ok_w, cfg: WindowBAConfig):
 
 
 def _compose_tracks_multi(
-    xy_w, valid_w, matches_w, z_w, z_ok_w, cfg: WindowBAConfig
+    xy_w, valid_w, matches_w, z_w, z_ok_w, cfg: WindowBAConfig,
+    include_anchor_start: bool = True,
 ):
     """All-starts track table for one window.
 
@@ -113,7 +114,9 @@ def _compose_tracks_multi(
     tracks still pin relative pose thanks to the stereo depth residuals).
 
     Returns (obs (M, P, 2), mask (M, P), z_obs (M, P), z_mask (M, P),
-    start (P,) int32, anchor_xy (P, 2), anchor_z (P,)) with P = (M-1)*K.
+    start (P,) int32, anchor_xy (P, 2), anchor_z (P,)) with P = (M-1)*K
+    (or (M-2)*K with ``include_anchor_start=False``, used when the
+    anchor's landmarks come from direct re-matching instead).
     """
     M, K = valid_w.shape
     # keypoints of frame j that are targets of a match from frame j-1
@@ -124,7 +127,7 @@ def _compose_tracks_multi(
         return tgt.at[jnp.where(ok, m_row, 0)].max(ok)
 
     tables = []
-    for j in range(M - 1):
+    for j in range(0 if include_anchor_start else 1, M - 1):
         # roll the window so start frame j sits at row 0, reuse the
         # single-start composer, then roll back and mask rows < j
         xy_j = jnp.roll(xy_w, -j, axis=0)
@@ -161,16 +164,66 @@ def _compose_tracks_multi(
     )
 
 
+def _anchor_rematch_table(
+    feats_w, xy_w, valid_w, z_w, z_ok_w, frontend, fparams, image_shape, cfg
+):
+    """Direct anchor->frame-j track table for every window.
+
+    Frame-to-frame composed tracks attrite ~25% per hop, so a 5-frame
+    window's anchor landmarks rarely reach 3+ observations — the
+    conditioning failure behind round 1's "BA only helps noisy VO" caveat.
+    Re-matching each window's ANCHOR features directly against every other
+    window frame (the matcher is already batched) gives the anchor's
+    landmarks observations in all M frames with no composition loss.
+
+    Inputs are window-sliced pytrees: feats_w (W, M, ...), xy_w
+    (W, M, K, 2), etc. Returns (obs (W, M, K, 2), mask (W, M, K),
+    z_obs (W, M, K), z_mask (W, M, K)).
+    """
+    in_range = lambda z: (z > cfg.min_depth) & (z < cfg.max_depth)
+    f_anchor = jax.tree.map(lambda a: a[:, 0], feats_w)
+
+    def one_window(fa, fw, xyw, valw, zw, zokw):
+        def one_frame(fj, xyj, valj, zj, zokj):
+            m = frontend.match(fparams, fa, fj, image_shape)  # (K,)
+            idx = jnp.where(m >= 0, m, 0)
+            ok = (m >= 0) & valj[idx]
+            zk = zj[idx]
+            return xyj[idx], ok, zk, ok & zokj[idx] & in_range(zk)
+
+        obs_r, mask_r, z_r, zm_r = jax.vmap(one_frame)(
+            jax.tree.map(lambda a: a[1:], fw),
+            xyw[1:], valw[1:], zw[1:], zokw[1:],
+        )
+        alive0 = valw[0] & zokw[0] & in_range(zw[0])
+        obs = jnp.concatenate([xyw[:1], obs_r], axis=0)
+        mask = jnp.concatenate([alive0[None], mask_r & alive0[None]], axis=0)
+        z_obs = jnp.concatenate([zw[:1], z_r], axis=0)
+        z_mask = jnp.concatenate([alive0[None], zm_r & alive0[None]], axis=0)
+        return obs, mask, z_obs, z_mask
+
+    return jax.vmap(one_window)(f_anchor, feats_w, xy_w, valid_w, z_w, z_ok_w)
+
+
 def refine_trajectory_ba(
     poses: jax.Array,
     artifacts: StereoArtifacts,
     cam: PinholeCamera,
     cfg: WindowBAConfig = WindowBAConfig(),
+    frontend=None,
+    fparams=None,
+    image_shape=None,
 ) -> jax.Array:
     """Refine VO poses (N-1, 4, 4) T_wc for frames 1..N-1 with windowed BA.
 
     Returns refined (N-1, 4, 4). Frames beyond the last complete window are
     carried along rigidly with the last window's boundary correction.
+
+    With ``frontend`` (+ its ``fparams`` and the ``image_shape`` its
+    matcher expects), anchor keyframes are re-matched against every window
+    frame for long, well-conditioned tracks (see _anchor_rematch_table);
+    without it, tracks are composed from the VO's frame-to-frame matches
+    only.
     """
     M = cfg.window
     N = artifacts.valid.shape[0]
@@ -191,9 +244,30 @@ def refine_trajectory_ba(
     z_ok_w = artifacts.z_ok[widx]
     T_w = T_wc[widx]  # (W, M, 4, 4) original VO poses
 
+    rematch = frontend is not None and artifacts.feats is not None
     obs, mask, z_obs, z_mask, start, anchor_xy, anchor_z = jax.vmap(
-        lambda a, b, c, d, e: _compose_tracks_multi(a, b, c, d, e, cfg)
+        lambda a, b, c, d, e: _compose_tracks_multi(
+            a, b, c, d, e, cfg, include_anchor_start=not rematch
+        )
     )(xy_w, valid_w, match_w, z_w, z_ok_w)
+    if rematch:
+        feats_w = jax.tree.map(lambda a: a[widx], artifacts.feats)
+        if image_shape is None:
+            image_shape = (cam.height, cam.width)
+        obs_a, mask_a, z_obs_a, z_mask_a = _anchor_rematch_table(
+            feats_w, xy_w, valid_w, z_w, z_ok_w,
+            frontend, fparams, image_shape, cfg,
+        )
+        K = valid_w.shape[-1]
+        obs = jnp.concatenate([obs_a, obs], axis=2)
+        mask = jnp.concatenate([mask_a, mask], axis=2)
+        z_obs = jnp.concatenate([z_obs_a, z_obs], axis=2)
+        z_mask = jnp.concatenate([z_mask_a, z_mask], axis=2)
+        start = jnp.concatenate(
+            [jnp.zeros((start.shape[0], K), jnp.int32), start], axis=1
+        )
+        anchor_xy = jnp.concatenate([xy_w[:, 0], anchor_xy], axis=1)
+        anchor_z = jnp.concatenate([z_w[:, 0], anchor_z], axis=1)
     # require a minimum track length (observations per landmark)
     long_enough = jnp.sum(mask, axis=1) >= cfg.min_obs  # (W, P)
     mask = mask & long_enough[:, None, :]

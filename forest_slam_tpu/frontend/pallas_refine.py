@@ -134,9 +134,33 @@ def refine_cost_volume_pallas(
     template: int,
     radius: int,
     interpret: bool = False,
+    max_batch: int = 8,
 ) -> jax.Array:
-    """(B, K, n, n) SAD cost, n = 2*radius + 1 — refine.py semantics."""
+    """(B, K, n, n) SAD cost, n = 2*radius + 1 — refine.py semantics.
+
+    Scalar-prefetch operands live in SMEM (1 MB total): 4 index arrays of
+    (B, K) int32 hit the ceiling at B*K = 64k, so batches above
+    ``max_batch`` pairs are processed in chunks via lax.map (measured OOM:
+    the VO pipeline's pair_chunk=64 vmap at K=1024 = exactly 1 MB).
+    """
     B, H, W = img0.shape
+    if B > max_batch:
+        Bp = _round_up(B, max_batch)
+        pad = lambda a: jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
+        chunked = jax.tree.map(
+            lambda a: pad(a).reshape(
+                (Bp // max_batch, max_batch) + a.shape[1:]
+            ),
+            (img0, img1, xi0, yi0, xi1, yi1),
+        )
+        out = jax.lax.map(
+            lambda c: refine_cost_volume_pallas(
+                *c, template, radius, interpret=interpret,
+                max_batch=max_batch,
+            ),
+            chunked,
+        )
+        return out.reshape((Bp,) + out.shape[2:])[:B]
     t = template
     R = radius
     ht = t // 2

@@ -87,7 +87,11 @@ def run_stereo_slam(
     )
     poses = outs.pose
     if cfg.ba is not None:
-        poses = refine_trajectory_ba(poses, art, rig.left, cfg.ba)
+        poses = refine_trajectory_ba(
+            poses, art, rig.left, cfg.ba,
+            frontend=frontend, fparams=fparams,
+            image_shape=tuple(images_l.shape[1:]),
+        )
 
     N = art.valid.shape[0]
     T_wc = jnp.concatenate([jnp.eye(4)[None], poses], axis=0)  # (N, 4, 4)

@@ -78,6 +78,14 @@ class StereoConfig(NamedTuple):
     # Batched-runner and device-runner paths only (the sequential parity
     # scan mirrors the reference, which has no such step).
     match_refine_radius: int = 0
+    # When refining, additionally REQUIRE the refinement's uniqueness gate:
+    # matches whose SAD search finds no distinct minimum (wrong assignments
+    # land on self-similar texture) are dropped from the PnP input set.
+    # Measured (960x600 corridor, learned frontend): at frame gap 20 the
+    # matcher's raw precision@24px is ~4%, far below min_inlier_ratio —
+    # filtering by refine-ok removes most of the garbage *before* the
+    # ratio gate, which is what makes wide-baseline tracking possible.
+    match_refine_filter: bool = True
 
 
 class StereoState(NamedTuple):
@@ -160,10 +168,12 @@ def _match_and_pnp(
     if cfg.match_refine_radius > 0 and img_prev is not None:
         from forest_slam_tpu.frontend.refine import RefineConfig, refine_matches
 
-        obs, _ = refine_matches(
+        obs, ok_r = refine_matches(
             img_prev, img_cur, prev_feats.xy, obs, valid,
             RefineConfig(radius=cfg.match_refine_radius),
         )
+        if cfg.match_refine_filter:
+            valid = valid & ok_r
 
     pnp = solve_pnp_ransac(
         pts3d,
@@ -695,7 +705,11 @@ def run_stereo_vo(
             images_l, images_r, rig, cfg, jax.random.PRNGKey(seed),
             frontend, fparams, return_artifacts=True,
         )
-        refined = refine_trajectory_ba(outs.pose, art, rig.left, ba)
+        refined = refine_trajectory_ba(
+            outs.pose, art, rig.left, ba,
+            frontend=frontend, fparams=fparams,
+            image_shape=tuple(images_l.shape[1:]),
+        )
         outs = outs._replace(pose=refined)
     else:
         runner = (

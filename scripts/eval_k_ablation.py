@@ -42,9 +42,22 @@ def main():
         "--refine-radius", type=int, default=0,
         help="post-match SAD refinement radius px (0 = off)",
     )
+    ap.add_argument(
+        "--no-refine-filter", action="store_true",
+        help="keep matches that fail the refinement uniqueness gate",
+    )
+    ap.add_argument(
+        "--match-threshold", type=float, default=0.2,
+        help="SuperGlue score threshold (reference default 0.2)",
+    )
+    ap.add_argument("--scene", default="corridor")
     args = ap.parse_args()
 
     import jax
+
+    from forest_slam_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from forest_slam_tpu.eval import ape_translation
@@ -59,7 +72,9 @@ def main():
 
     H, W = args.height, args.width
     # one long 10 Hz walk; stride-K subsets share the compiled pipeline
-    seq = render_sequence(args.frames, height=H, width=W, speed=0.15)
+    seq = render_sequence(
+        args.frames, height=H, width=W, speed=0.15, scene=args.scene
+    )
     rig = seq.rig
     gt = np.asarray(seq.T_world_cam, np.float64)
 
@@ -68,6 +83,7 @@ def main():
         n_hypotheses=1024,
         compose_mode="odometry",
         match_refine_radius=args.refine_radius,
+        match_refine_filter=not args.no_refine_filter,
     )
 
     frontends = {}
@@ -82,6 +98,7 @@ def main():
         fe, fparams = load_learned_frontend(
             (H, W), args.weights or DEFAULT_PATH, max_keypoints=1024,
             scales=tuple(args.scales),
+            superglue_overrides={"match_threshold": args.match_threshold},
         )
         frontends["sp"] = (learned_frontend(fe), fparams)
 

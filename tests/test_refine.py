@@ -99,6 +99,31 @@ def test_pallas_cost_volume_vmap_batches():
     )
 
 
+def test_pallas_cost_volume_batch_chunking():
+    """Batches above max_batch are split across pallas_calls (SMEM guard)
+    with identical results."""
+    from forest_slam_tpu.frontend.pallas_refine import (
+        refine_cost_volume_pallas,
+    )
+
+    key = jax.random.PRNGKey(2)
+    B, H, W, K = 5, 48, 96, 8
+    img0 = jax.random.uniform(key, (B, H, W)) * 255
+    img1 = jnp.roll(img0, 2, axis=2)
+    rng = np.random.default_rng(2)
+    mk = lambda hi: jnp.asarray(rng.integers(10, hi, (B, K)), jnp.int32)
+    xi0, yi0, xi1, yi1 = mk(W - 10), mk(H - 10), mk(W - 10), mk(H - 10)
+    whole = refine_cost_volume_pallas(
+        img0, img1, xi0, yi0, xi1, yi1, 8, 4, interpret=True, max_batch=8
+    )
+    chunked = refine_cost_volume_pallas(
+        img0, img1, xi0, yi0, xi1, yi1, 8, 4, interpret=True, max_batch=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(whole), atol=1e-4
+    )
+
+
 def test_refine_matches_pallas_path_end_to_end():
     """refine_matches with cost_path=pallas_interpret reproduces the xla
     path's refined coords and ok mask on a clean shift."""
