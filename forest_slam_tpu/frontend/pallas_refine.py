@@ -143,7 +143,8 @@ def refine_cost_volume_pallas(
     ``max_batch`` pairs are processed in chunks via lax.map (measured OOM:
     the VO pipeline's pair_chunk=64 vmap at K=1024 = exactly 1 MB).
     """
-    B, H, W = img0.shape
+    B, H0, W0 = img0.shape
+    H1, W1 = img1.shape[1:]  # frame 1 may be a downscaled copy
     if B > max_batch:
         Bp = _round_up(B, max_batch)
         pad = lambda a: jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
@@ -179,15 +180,15 @@ def refine_cost_volume_pallas(
     # starts reach (y1 - ht - R) + (n - 1) + pad offset (ht + R) = y1 + n-1.
     # Aligned (16, 256) loads need +16 rows / +256 lanes past the largest
     # aligned base.
-    Hp0 = _round_up(H + ht + 24, 8)
-    Wp0 = _round_up(W + ht, 128) + 256
+    Hp0 = _round_up(H0 + ht + 24, 8)
+    Wp0 = _round_up(W0 + ht, 128) + 256
     p0 = jnp.zeros((B, Hp0, Wp0), jnp.float32)
-    p0 = p0.at[:, ht : ht + H, ht : ht + W].set(img0.astype(jnp.float32))
+    p0 = p0.at[:, ht : ht + H0, ht : ht + W0].set(img0.astype(jnp.float32))
     off1 = ht + R
-    Hp1 = _round_up(H + off1 + n + 24, 8)
-    Wp1 = _round_up(W + off1, 128) + 256
+    Hp1 = _round_up(H1 + off1 + n + 24, 8)
+    Wp1 = _round_up(W1 + off1, 128) + 256
     p1 = jnp.zeros((B, Hp1, Wp1), jnp.float32)
-    p1 = p1.at[:, off1 : off1 + H, off1 : off1 + W].set(
+    p1 = p1.at[:, off1 : off1 + H1, off1 : off1 + W1].set(
         img1.astype(jnp.float32)
     )
 

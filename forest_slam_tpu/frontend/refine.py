@@ -38,6 +38,16 @@ class RefineConfig(NamedTuple):
     # pallas 11.3 ms/pair vs xla 10.5 — currently a wash (kernel notes in
     # pallas_refine.py); auto stays on pallas for its flat scaling in R.
     cost_path: str = "auto"
+    # Template-to-window scale ratios to search. Forward motion enlarges
+    # approaching patches by z0/z1 (~1.45x at a 3 m step onto a 10 m
+    # point); a fixed-scale SAD then cannot lock on (measured at frame
+    # gap 20: 34% of refine survivors are within 24 px of GT but only 8%
+    # reach 2 px — vs 54%/57% at gap 10 where scale change is mild). Each
+    # s > 1 runs the search on frame 1 downscaled by s (coords mapped
+    # back), and the per-keypoint winner is the scale whose SAD valley is
+    # deepest relative to its own second-best (ratio, not raw cost — the
+    # downscale's smoothing biases raw SAD low).
+    scales: tuple = (1.0,)
 
 
 def _resolve_cost_path(cfg: RefineConfig) -> str:
@@ -91,20 +101,18 @@ def _cost_volume_xla(
     )
 
 
-def refine_matches(
-    img0: jax.Array,  # (H, W) frame 0
-    img1: jax.Array,  # (H, W) frame 1
+def _refine_single(
+    img0: jax.Array,  # (H0, W0) frame 0
+    img1: jax.Array,  # (H1, W1) frame 1 (possibly downscaled)
     xy0: jax.Array,  # (K, 2) keypoints in frame 0
-    xy1: jax.Array,  # (K, 2) matched estimates in frame 1
-    valid: jax.Array,  # (K,) match validity
-    cfg: RefineConfig = RefineConfig(),
-) -> tuple[jax.Array, jax.Array]:
-    """((K, 2) refined frame-1 coords, (K,) refinement ok).
-
-    Points that fail the uniqueness gate or whose window leaves the image
-    keep their input coordinate with ok=False.
-    """
-    H, W = img0.shape
+    xy1: jax.Array,  # (K, 2) estimates in FRAME-1 coords
+    valid: jax.Array,
+    cfg: RefineConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One fixed-scale search: ((K, 2) refined frame-1 coords, (K,) ok,
+    (K,) best/second cost ratio — lower = more distinctive valley)."""
+    H0, W0 = img0.shape
+    H1, W1 = img1.shape
     R = cfg.radius
     t = cfg.template
     ht = t // 2
@@ -112,10 +120,10 @@ def refine_matches(
 
     # clamp to the image so both cost paths see identical in-range starts
     # (out-of-range points are masked by in_bounds below either way)
-    xi0 = jnp.clip(jnp.round(xy0[:, 0]).astype(jnp.int32), 0, W - 1)
-    yi0 = jnp.clip(jnp.round(xy0[:, 1]).astype(jnp.int32), 0, H - 1)
-    xi1 = jnp.clip(jnp.round(xy1[:, 0]).astype(jnp.int32), 0, W - 1)
-    yi1 = jnp.clip(jnp.round(xy1[:, 1]).astype(jnp.int32), 0, H - 1)
+    xi0 = jnp.clip(jnp.round(xy0[:, 0]).astype(jnp.int32), 0, W0 - 1)
+    yi0 = jnp.clip(jnp.round(xy0[:, 1]).astype(jnp.int32), 0, H0 - 1)
+    xi1 = jnp.clip(jnp.round(xy1[:, 0]).astype(jnp.int32), 0, W1 - 1)
+    yi1 = jnp.clip(jnp.round(xy1[:, 1]).astype(jnp.int32), 0, H1 - 1)
 
     path = _resolve_cost_path(cfg)
     if path in ("pallas", "pallas_interpret"):
@@ -171,14 +179,60 @@ def refine_matches(
 
     in_bounds = (
         (xi1 - R - ht >= 0)
-        & (xi1 + R + ht < W)
+        & (xi1 + R + ht < W1)
         & (yi1 - R - ht >= 0)
-        & (yi1 + R + ht < H)
+        & (yi1 + R + ht < H1)
         & (xi0 - ht >= 0)
-        & (xi0 + ht < W)
+        & (xi0 + ht < W0)
         & (yi0 - ht >= 0)
-        & (yi0 + ht < H)
+        & (yi0 + ht < H0)
     )
     ok = valid & unique & in_bounds
-    out = jnp.where(ok[:, None], refined, xy1)
+    ratio = best_cost / jnp.maximum(second, 1e-6)
+    return refined, ok, jnp.where(ok, ratio, jnp.float32(2.0))
+
+
+def refine_matches(
+    img0: jax.Array,  # (H, W) frame 0
+    img1: jax.Array,  # (H, W) frame 1
+    xy0: jax.Array,  # (K, 2) keypoints in frame 0
+    xy1: jax.Array,  # (K, 2) matched estimates in frame 1
+    valid: jax.Array,  # (K,) match validity
+    cfg: RefineConfig = RefineConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """((K, 2) refined frame-1 coords, (K,) refinement ok).
+
+    Points that fail the uniqueness gate (at every searched scale) or
+    whose window leaves the image keep their input coordinate with
+    ok=False. With several cfg.scales, each keypoint's winning scale is
+    the one with the deepest relative SAD valley (see RefineConfig).
+    """
+    H, W = img0.shape
+    cands = []
+    for s in cfg.scales:
+        if s == 1.0:
+            cands.append(_refine_single(img0, img1, xy0, xy1, valid, cfg))
+            continue
+        Hs, Ws = max(int(round(H / s)), 16), max(int(round(W / s)), 16)
+        img1s = jax.image.resize(img1, (Hs, Ws), "linear")
+        inv = jnp.array(
+            [Ws / W, Hs / H], jnp.float32
+        )  # exact resize mapping, ~1/s
+        r, ok, ratio = _refine_single(
+            img0, img1s, xy0, xy1 * inv, valid, cfg
+        )
+        cands.append((r / inv, ok, ratio))
+    if len(cands) == 1:
+        refined, ok, _ = cands[0]
+        out = jnp.where(ok[:, None], refined, xy1)
+        return out, ok
+    refined = jnp.stack([c[0] for c in cands])  # (S, K, 2)
+    oks = jnp.stack([c[1] for c in cands])  # (S, K)
+    ratios = jnp.stack([c[2] for c in cands])  # (S, K)
+    pick = jnp.argmin(jnp.where(oks, ratios, jnp.float32(3.0)), axis=0)
+    take = lambda a: jnp.take_along_axis(
+        a, pick.reshape((1,) + pick.shape + (1,) * (a.ndim - 2)), axis=0
+    )[0]
+    ok = take(oks[..., None])[..., 0]
+    out = jnp.where(ok[:, None], take(refined), xy1)
     return out, ok

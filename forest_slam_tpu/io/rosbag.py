@@ -438,12 +438,14 @@ class BagWriter:
         buf += struct.pack("<B", 1)  # is_dense
         return buf
 
-    def close(self, compression: str = "none"):
-        chunk = b""
+    def close(self, compression: str = "none", chunk_size: int = 0):
+        """Write the bag. ``chunk_size`` > 0 splits the message stream into
+        CHUNK records of roughly that many bytes of raw payload (real bags
+        are multi-chunk; 0 keeps the legacy single-chunk layout)."""
         import io as _io
 
-        cstream = _io.BytesIO()
         conn_ids = {t: i for i, t in enumerate(self._topics)}
+        conn_stream = _io.BytesIO()
         for topic, mtype in self._topics.items():
             sub = _write_header(
                 {
@@ -454,7 +456,7 @@ class BagWriter:
                 }
             )
             _write_record(
-                cstream,
+                conn_stream,
                 {
                     "op": bytes([OP_CONNECTION]),
                     "conn": struct.pack("<I", conn_ids[topic]),
@@ -462,22 +464,17 @@ class BagWriter:
                 },
                 sub,
             )
-        for topic, mtype, payload, t in self._messages:
-            _write_record(
-                cstream,
-                {
-                    "op": bytes([OP_MSG_DATA]),
-                    "conn": struct.pack("<I", conn_ids[topic]),
-                    "time": _ros_time(t),
-                },
-                payload,
-            )
-        chunk = cstream.getvalue()
-        if compression == "bz2":
-            cdata = bz2.compress(chunk)
-        else:
-            compression = "none"
-            cdata = chunk
+        conn_records = conn_stream.getvalue()
+
+        # group messages into chunks; connections ride in the first chunk
+        groups: list[list[tuple[str, str, bytes, float]]] = [[]]
+        acc = 0
+        for m in self._messages:
+            if chunk_size > 0 and acc > chunk_size and groups[-1]:
+                groups.append([])
+                acc = 0
+            groups[-1].append(m)
+            acc += len(m[2])
 
         with open(self.path, "wb") as f:
             f.write(MAGIC)
@@ -486,7 +483,7 @@ class BagWriter:
                 "op": bytes([OP_BAG_HEADER]),
                 "index_pos": struct.pack("<Q", 0),
                 "conn_count": struct.pack("<I", len(self._topics)),
-                "chunk_count": struct.pack("<I", 1),
+                "chunk_count": struct.pack("<I", len(groups)),
             }
             h = _write_header(bh)
             pad = 4096 - len(h) - 8
@@ -494,12 +491,33 @@ class BagWriter:
             f.write(h)
             f.write(struct.pack("<I", pad))
             f.write(b" " * pad)
-            _write_record(
-                f,
-                {
-                    "op": bytes([OP_CHUNK]),
-                    "compression": compression.encode(),
-                    "size": struct.pack("<I", len(chunk)),
-                },
-                cdata,
-            )
+            for gi, group in enumerate(groups):
+                cstream = _io.BytesIO()
+                if gi == 0:
+                    cstream.write(conn_records)
+                for topic, mtype, payload, t in group:
+                    _write_record(
+                        cstream,
+                        {
+                            "op": bytes([OP_MSG_DATA]),
+                            "conn": struct.pack("<I", conn_ids[topic]),
+                            "time": _ros_time(t),
+                        },
+                        payload,
+                    )
+                chunk = cstream.getvalue()
+                comp = compression
+                if comp == "bz2":
+                    cdata = bz2.compress(chunk)
+                else:
+                    comp = "none"
+                    cdata = chunk
+                _write_record(
+                    f,
+                    {
+                        "op": bytes([OP_CHUNK]),
+                        "compression": comp.encode(),
+                        "size": struct.pack("<I", len(chunk)),
+                    },
+                    cdata,
+                )

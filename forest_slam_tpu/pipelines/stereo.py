@@ -86,6 +86,11 @@ class StereoConfig(NamedTuple):
     # filtering by refine-ok removes most of the garbage *before* the
     # ratio gate, which is what makes wide-baseline tracking possible.
     match_refine_filter: bool = True
+    # Scale ratios the refiner searches (RefineConfig.scales). (1.0,) is
+    # plain fixed-scale SAD; wide-baseline (large keyframe interval)
+    # tracking needs e.g. (1.0, 1.2, 1.44) to absorb forward-motion
+    # apparent-scale growth.
+    match_refine_scales: tuple = (1.0,)
 
 
 class StereoState(NamedTuple):
@@ -170,7 +175,10 @@ def _match_and_pnp(
 
         obs, ok_r = refine_matches(
             img_prev, img_cur, prev_feats.xy, obs, valid,
-            RefineConfig(radius=cfg.match_refine_radius),
+            RefineConfig(
+                radius=cfg.match_refine_radius,
+                scales=tuple(cfg.match_refine_scales),
+            ),
         )
         if cfg.match_refine_filter:
             valid = valid & ok_r

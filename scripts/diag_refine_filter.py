@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--speed", type=float, default=0.15)
     ap.add_argument("--radii", type=int, nargs="+", default=[24])
     ap.add_argument(
+        "--refine-scales", type=float, nargs="+", default=[1.0],
+        help="template-to-window scale ratios searched by the refiner",
+    )
+    ap.add_argument(
         "--thresholds", type=float, nargs="+", default=[0.2, 0.4, 0.6]
     )
     args = ap.parse_args()
@@ -103,7 +107,10 @@ def main():
                 ref, ok_r = refine_matches(
                     jnp.asarray(img0), jnp.asarray(img1),
                     jnp.asarray(xy0), jnp.asarray(obs),
-                    jnp.asarray(base), RefineConfig(radius=R),
+                    jnp.asarray(base),
+                    RefineConfig(
+                        radius=R, scales=tuple(args.refine_scales)
+                    ),
                 )
                 ref = np.asarray(ref)
                 ok_r = np.asarray(ok_r) & base

@@ -47,6 +47,10 @@ def main():
         help="keep matches that fail the refinement uniqueness gate",
     )
     ap.add_argument(
+        "--refine-scales", type=float, nargs="+", default=[1.0],
+        help="scale ratios the refiner searches (wide-baseline: 1.0 1.2 1.44)",
+    )
+    ap.add_argument(
         "--match-threshold", type=float, default=0.2,
         help="SuperGlue score threshold (reference default 0.2)",
     )
@@ -84,6 +88,7 @@ def main():
         compose_mode="odometry",
         match_refine_radius=args.refine_radius,
         match_refine_filter=not args.no_refine_filter,
+        match_refine_scales=tuple(args.refine_scales),
     )
 
     frontends = {}

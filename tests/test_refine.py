@@ -99,6 +99,72 @@ def test_pallas_cost_volume_vmap_batches():
     )
 
 
+def test_pallas_cost_volume_mixed_sizes():
+    """Frame 1 may be a downscaled copy (scale-searching refinement) —
+    the kernel must pad each frame by its own shape."""
+    from forest_slam_tpu.frontend.pallas_refine import refine_cost_volume
+    from forest_slam_tpu.frontend.refine import _cost_volume_xla
+
+    key = jax.random.PRNGKey(3)
+    img0 = jax.random.uniform(key, (96, 144)) * 255
+    img1 = jax.image.resize(img0, (80, 120), "linear")
+    K = 8
+    rng = np.random.default_rng(3)
+    xi0 = jnp.asarray(rng.integers(10, 130, K), jnp.int32)
+    yi0 = jnp.asarray(rng.integers(10, 80, K), jnp.int32)
+    xi1 = jnp.asarray(rng.integers(10, 100, K), jnp.int32)
+    yi1 = jnp.asarray(rng.integers(10, 70, K), jnp.int32)
+    ref = _cost_volume_xla(img0, img1, xi0, yi0, xi1, yi1, 8, 6)
+    got = refine_cost_volume(
+        img0, img1, xi0, yi0, xi1, yi1, 8, 6, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-3
+    )
+
+
+def test_refine_matches_scale_search_recovers_zoom():
+    """A zoomed frame 1 defeats fixed-scale SAD but the scale-searching
+    refiner locks on (RefineConfig.scales)."""
+    key = jax.random.PRNGKey(4)
+    H, W = 120, 160
+    base = jax.random.uniform(key, (H * 2, W * 2)) * 255
+    k = jnp.array([0.25, 0.5, 0.25])
+    sm = jnp.apply_along_axis(lambda r: jnp.convolve(r, k, "same"), 0, base)
+    sm = jnp.apply_along_axis(lambda r: jnp.convolve(r, k, "same"), 1, sm)
+    img0 = sm[:H, :W]
+    # frame 1 = frame 0 magnified 1.4x about the origin
+    s = 1.4
+    ys = jnp.arange(H) / s
+    xs = jnp.arange(W) / s
+    yi = jnp.clip(ys.astype(int), 0, H - 1)
+    xi = jnp.clip(xs.astype(int), 0, W - 1)
+    img1 = img0[yi][:, xi]
+    K = 16
+    rng = np.random.default_rng(4)
+    xy0 = jnp.asarray(
+        np.stack([rng.uniform(20, 90, K), rng.uniform(20, 70, K)], 1),
+        jnp.float32,
+    ).round()
+    gt_xy1 = xy0 * s  # true correspondence under the magnification
+    # matcher estimate: a few px off the truth
+    xy1 = gt_xy1 + 3.0
+    valid = jnp.ones((K,), bool)
+    cfg = RefineConfig(radius=8, cost_path="xla")
+    _, ok_fixed = refine_matches(img0, img1, xy0, xy1, valid, cfg)
+    ref_s, ok_s = refine_matches(
+        img0, img1, xy0, xy1, valid,
+        cfg._replace(scales=(1.0, 1.2, 1.4)),
+    )
+    err = np.linalg.norm(np.asarray(ref_s - gt_xy1), axis=1)
+    ok_s = np.asarray(ok_s)
+    # scale search must lock most points near the truth; fixed scale locks
+    # almost nothing on a 1.4x zoom
+    assert ok_s.sum() >= K // 2, ok_s.sum()
+    assert np.median(err[ok_s]) < 2.5, err
+    assert ok_s.sum() > np.asarray(ok_fixed).sum()
+
+
 def test_pallas_cost_volume_batch_chunking():
     """Batches above max_batch are split across pallas_calls (SMEM guard)
     with identical results."""
