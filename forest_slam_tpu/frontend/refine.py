@@ -43,10 +43,11 @@ class RefineConfig(NamedTuple):
     # point); a fixed-scale SAD then cannot lock on (measured at frame
     # gap 20: 34% of refine survivors are within 24 px of GT but only 8%
     # reach 2 px — vs 54%/57% at gap 10 where scale change is mild). Each
-    # s > 1 runs the search on frame 1 downscaled by s (coords mapped
-    # back), and the per-keypoint winner is the scale whose SAD valley is
-    # deepest relative to its own second-best (ratio, not raw cost — the
-    # downscale's smoothing biases raw SAD low).
+    # s > 1 reruns the search with frame 0 UPSCALED by s (so the search
+    # stays at frame 1's native resolution — full sub-pixel precision),
+    # and the per-keypoint winner is the scale whose SAD valley is deepest
+    # relative to its own second-best (ratio, not raw cost — resampling
+    # smoothing biases raw SAD).
     scales: tuple = (1.0,)
 
 
@@ -54,7 +55,14 @@ def _resolve_cost_path(cfg: RefineConfig) -> str:
     if cfg.cost_path != "auto":
         return cfg.cost_path
     on_tpu = jax.default_backend() == "tpu"
-    fits = cfg.template <= 8 and 2 * cfg.radius + cfg.template <= 128
+    # radius cap: the kernel's (K, n, 128) f32 cost block scales with
+    # n = 2R+1; measured R=24 fits the ~16 MB scoped-VMEM budget at
+    # K=1024, R=32 exceeds it by 144 KB (AOT compile OOM)
+    fits = (
+        cfg.template <= 8
+        and 2 * cfg.radius + cfg.template <= 128
+        and cfg.radius <= 24
+    )
     return "pallas" if (on_tpu and fits) else "xla"
 
 
@@ -192,20 +200,25 @@ def _refine_single(
     return refined, ok, jnp.where(ok, ratio, jnp.float32(2.0))
 
 
-def refine_matches(
+def refine_matches_quality(
     img0: jax.Array,  # (H, W) frame 0
     img1: jax.Array,  # (H, W) frame 1
     xy0: jax.Array,  # (K, 2) keypoints in frame 0
     xy1: jax.Array,  # (K, 2) matched estimates in frame 1
     valid: jax.Array,  # (K,) match validity
     cfg: RefineConfig = RefineConfig(),
-) -> tuple[jax.Array, jax.Array]:
-    """((K, 2) refined frame-1 coords, (K,) refinement ok).
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """((K, 2) refined frame-1 coords, (K,) refinement ok, (K,) quality).
 
     Points that fail the uniqueness gate (at every searched scale) or
     whose window leaves the image keep their input coordinate with
     ok=False. With several cfg.scales, each keypoint's winning scale is
     the one with the deepest relative SAD valley (see RefineConfig).
+
+    ``quality`` is 1 - best/second SAD ratio of the winning scale in
+    [0, 1] (0 for not-ok points): a deep, distinctive cost valley scores
+    high, a near-ambiguous one near 0. Downstream RANSAC uses it to bias
+    minimal-sample draws toward trustworthy correspondences.
     """
     H, W = img0.shape
     cands = []
@@ -213,26 +226,45 @@ def refine_matches(
         if s == 1.0:
             cands.append(_refine_single(img0, img1, xy0, xy1, valid, cfg))
             continue
-        Hs, Ws = max(int(round(H / s)), 16), max(int(round(W / s)), 16)
-        img1s = jax.image.resize(img1, (Hs, Ws), "linear")
-        inv = jnp.array(
-            [Ws / W, Hs / H], jnp.float32
-        )  # exact resize mapping, ~1/s
+        # UPSCALE frame 0 by s (rather than downscaling frame 1): the
+        # template then matches frame 1's enlarged appearance while the
+        # search still runs at frame 1's native resolution — the refined
+        # coordinate keeps full-res sub-pixel precision instead of the
+        # +-0.5*s px quantization a downscaled search window would give
+        # (decisive against PnP's 1 px gate at s ~ 1.4).
+        H0s, W0s = int(round(H * s)), int(round(W * s))
+        img0s = jax.image.resize(img0, (H0s, W0s), "linear")
+        sc0 = jnp.array([W0s / W, H0s / H], jnp.float32)  # exact, ~s
         r, ok, ratio = _refine_single(
-            img0, img1s, xy0, xy1 * inv, valid, cfg
+            img0s, img1, xy0 * sc0, xy1, valid, cfg
         )
-        cands.append((r / inv, ok, ratio))
+        cands.append((r, ok, ratio))
     if len(cands) == 1:
-        refined, ok, _ = cands[0]
-        out = jnp.where(ok[:, None], refined, xy1)
-        return out, ok
-    refined = jnp.stack([c[0] for c in cands])  # (S, K, 2)
-    oks = jnp.stack([c[1] for c in cands])  # (S, K)
-    ratios = jnp.stack([c[2] for c in cands])  # (S, K)
-    pick = jnp.argmin(jnp.where(oks, ratios, jnp.float32(3.0)), axis=0)
-    take = lambda a: jnp.take_along_axis(
-        a, pick.reshape((1,) + pick.shape + (1,) * (a.ndim - 2)), axis=0
-    )[0]
-    ok = take(oks[..., None])[..., 0]
-    out = jnp.where(ok[:, None], take(refined), xy1)
+        refined, ok, ratio = cands[0]
+    else:
+        refined = jnp.stack([c[0] for c in cands])  # (S, K, 2)
+        oks = jnp.stack([c[1] for c in cands])  # (S, K)
+        ratios = jnp.stack([c[2] for c in cands])  # (S, K)
+        pick = jnp.argmin(jnp.where(oks, ratios, jnp.float32(3.0)), axis=0)
+        take = lambda a: jnp.take_along_axis(
+            a, pick.reshape((1,) + pick.shape + (1,) * (a.ndim - 2)), axis=0
+        )[0]
+        ok = take(oks[..., None])[..., 0]
+        ratio = take(ratios[..., None])[..., 0]
+        refined = take(refined)
+    out = jnp.where(ok[:, None], refined, xy1)
+    quality = jnp.where(ok, jnp.clip(1.0 - ratio, 0.0, 1.0), 0.0)
+    return out, ok, quality
+
+
+def refine_matches(
+    img0: jax.Array,
+    img1: jax.Array,
+    xy0: jax.Array,
+    xy1: jax.Array,
+    valid: jax.Array,
+    cfg: RefineConfig = RefineConfig(),
+) -> tuple[jax.Array, jax.Array]:
+    """:func:`refine_matches_quality` without the quality channel."""
+    out, ok, _ = refine_matches_quality(img0, img1, xy0, xy1, valid, cfg)
     return out, ok

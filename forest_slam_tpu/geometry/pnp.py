@@ -122,6 +122,182 @@ def orthogonalize_pose(P: jax.Array, pts3d: jax.Array, valid: jax.Array) -> jax.
     return jnp.concatenate([R, t[:, None]], axis=1)
 
 
+def _solve_quartic(c4, c3, c2, c1, c0):
+    """All four (complex64) roots of batched quartics via Ferrari's closed
+    form. Inputs (...,) -> roots (..., 4).
+
+    Elementwise complex arithmetic only — no per-root eigendecompositions,
+    so the whole RANSAC hypothesis batch solves in one fused VPU pass.
+    f32-precision roots are polished by the caller (Newton) before use.
+    """
+    c4 = jnp.where(jnp.abs(c4) < 1e-12, 1e-12, c4)
+    a3, a2, a1, a0 = (c.astype(jnp.complex64) / c4 for c in (c3, c2, c1, c0))
+    # depressed quartic y^4 + p y^2 + q y + r, x = y - a3/4
+    p = a2 - 3 * a3 * a3 / 8
+    q = a1 - a3 * a2 / 2 + a3 * a3 * a3 / 8
+    r = a0 - a3 * a1 / 4 + a3 * a3 * a2 / 16 - 3 * a3**4 / 256
+    # resolvent cubic z^3 - p z^2 - 4 r z + (4 p r - q^2) = 0; one root via
+    # Cardano (any root yields a valid factorization)
+    b, c_, d = -p, -4 * r, 4 * p * r - q * q
+    t_shift = b / 3
+    cp = c_ - b * b / 3
+    cq = d - b * c_ / 3 + 2 * b**3 / 27
+    disc = jnp.sqrt((cq / 2) ** 2 + (cp / 3) ** 3)
+    # pick the larger-magnitude cube-root argument for numerical stability
+    u1 = -cq / 2 + disc
+    u2 = -cq / 2 - disc
+    ua = jnp.where(jnp.abs(u1) > jnp.abs(u2), u1, u2)
+    cbrt = jnp.where(
+        jnp.abs(ua) < 1e-30, 0.0, jnp.exp(jnp.log(ua + 0j) / 3)
+    )
+    z = jnp.where(
+        jnp.abs(cbrt) < 1e-30, 0.0, cbrt - cp / (3 * jnp.where(jnp.abs(cbrt) < 1e-30, 1.0, cbrt))
+    ) - t_shift
+    # factor into two quadratics: y^2 -+ w y + (z/2 +- q/(2w))
+    w = jnp.sqrt(z - p)
+    w_ok = jnp.abs(w) > 1e-6
+    ws = jnp.where(w_ok, w, 1.0)
+    # w ~ 0 -> biquadratic y^4 + p y^2 + r: fall back to that closed form
+    e1 = jnp.where(w_ok, z / 2 - q / (2 * ws), (-p + jnp.sqrt(p * p - 4 * r)) / 2)
+    e2 = jnp.where(w_ok, z / 2 + q / (2 * ws), (-p - jnp.sqrt(p * p - 4 * r)) / 2)
+    wq = jnp.where(w_ok, w, 0.0)
+    # quartic = (y^2 + w y + e1)(y^2 - w y + e2)
+    d1 = jnp.sqrt(wq * wq - 4 * e1)
+    d2 = jnp.sqrt(wq * wq - 4 * e2)
+    y = jnp.stack(
+        [(-wq + d1) / 2, (-wq - d1) / 2, (wq + d2) / 2, (wq - d2) / 2],
+        axis=-1,
+    )
+    return y - a3[..., None] / 4
+
+
+def _p3p_grunert(pts3d: jax.Array, f: jax.Array) -> jax.Array:
+    """Grunert's P3P: (3, 3) world points + (3, 3) unit bearings -> (4, 3, 4)
+    candidate rigid [R|t] poses (x_cam = R X + t), NaN-filled rows for
+    complex/degenerate roots (they score zero inliers downstream).
+
+    Minimal-sample size 3 instead of the DLT's 6 is the decisive RANSAC
+    lever at wide-baseline inlier rates: a clean hypothesis needs p^3 draws
+    instead of p^6 (~30x more clean hypotheses at p = 0.3). Quartic
+    coefficients derived symbolically (resultant of the two Grunert
+    quadrics, common factor aa^2 removed); roots polished by two Newton
+    steps to recover f32 accuracy.
+    """
+    P1, P2, P3 = pts3d[0], pts3d[1], pts3d[2]
+    aa = jnp.sum((P2 - P3) ** 2)
+    bb = jnp.sum((P1 - P3) ** 2)
+    cc = jnp.sum((P1 - P2) ** 2)
+    # the quartic coefficients are homogeneous degree 2 in (aa, bb, cc):
+    # normalize to ~1 so their f32 cancellations happen at eps, not eps *
+    # (scene scale)^4
+    dscale = jnp.maximum((aa + bb + cc) / 3, 1e-12)
+    aa, bb, cc = aa / dscale, bb / dscale, cc / dscale
+    ca = jnp.dot(f[1], f[2])  # cos angle opposite side a
+    cb = jnp.dot(f[0], f[2])
+    cg = jnp.dot(f[0], f[1])
+
+    A4 = aa**2 - 2*aa*bb - 2*aa*cc + bb**2 - 4*bb*ca**2*cc + 2*bb*cc + cc**2
+    A3 = (-4*aa**2*cb + 4*aa*bb*ca*cg + 4*aa*bb*cb + 8*aa*cb*cc
+          - 4*bb**2*ca*cg + 8*bb*ca**2*cb*cc + 4*bb*ca*cc*cg - 4*bb*cb*cc
+          - 4*cb*cc**2)
+    A2 = (4*aa**2*cb**2 + 2*aa**2 - 8*aa*bb*ca*cb*cg - 4*aa*bb*cg**2
+          - 8*aa*cb**2*cc - 4*aa*cc + 4*bb**2*ca**2 + 4*bb**2*cg**2
+          - 2*bb**2 - 4*bb*ca**2*cc - 8*bb*ca*cb*cc*cg + 4*cb**2*cc**2
+          + 2*cc**2)
+    A1 = (-4*aa**2*cb + 4*aa*bb*ca*cg + 8*aa*bb*cb*cg**2 - 4*aa*bb*cb
+          + 8*aa*cb*cc - 4*bb**2*ca*cg + 4*bb*ca*cc*cg + 4*bb*cb*cc
+          - 4*cb*cc**2)
+    A0 = aa**2 - 4*aa*bb*cg**2 + 2*aa*bb - 2*aa*cc + bb**2 - 2*bb*cc + cc**2
+
+    roots = _solve_quartic(A4, A3, A2, A1, A0)  # (4,) complex
+    near_real = jnp.abs(roots.imag) < 1e-3 * (1.0 + jnp.abs(roots.real))
+    v = roots.real  # (4,)
+
+    def quartic(v):
+        return (((A4 * v + A3) * v + A2) * v + A1) * v + A0
+
+    def dquartic(v):
+        return ((4 * A4 * v + 3 * A3) * v + 2 * A2) * v + A1
+
+    for _ in range(2):  # Newton polish in f32
+        v = v - quartic(v) / jnp.where(
+            jnp.abs(dquartic(v)) < 1e-12, 1e-12, dquartic(v)
+        )
+
+    # u from the combination eliminating u^2:
+    # (aa - cc) * q1 + bb * q2 is linear in u, where
+    # q1 = aa(1+v^2-2v cb) - bb(u^2+v^2-2uv ca)
+    # q2 = aa(1+u^2-2u cg) - cc(u^2+v^2-2uv ca)
+    # coefficient of u: 2v ca (bb(aa-cc) ... derive directly:
+    # q1 = -bb u^2 + 2 bb ca v u + [aa(1+v^2-2v cb) - bb v^2]
+    # q2 = (aa-cc) u^2 + (2 cc ca v - 2 aa cg) u + [aa - cc v^2]
+    # lin = (aa-cc) q1 + bb q2:
+    lin_u = (aa - cc) * 2 * bb * ca * v + bb * (2 * cc * ca * v - 2 * aa * cg)
+    lin_c = (aa - cc) * (aa * (1 + v * v - 2 * v * cb) - bb * v * v) + bb * (
+        aa - cc * v * v
+    )
+    u = -lin_c / jnp.where(jnp.abs(lin_u) < 1e-12, 1e-12, lin_u)
+
+    den = 1 + v * v - 2 * v * cb
+    s1 = jnp.sqrt(bb / jnp.where(den < 1e-12, 1e-12, den))
+    s2 = u * s1
+    s3 = v * s1
+
+    # Newton on the original distance system in (s1, s2, s3): recovers the
+    # f32 accuracy the quartic's coefficient cancellations lose.
+    #   g1 = s2^2 + s3^2 - 2 s2 s3 ca - aa, g2/g3 cyclically
+    def newton_s(s, _):
+        s1_, s2_, s3_ = s[..., 0], s[..., 1], s[..., 2]
+        g = jnp.stack(
+            [
+                s2_**2 + s3_**2 - 2 * s2_ * s3_ * ca - aa,
+                s1_**2 + s3_**2 - 2 * s1_ * s3_ * cb - bb,
+                s1_**2 + s2_**2 - 2 * s1_ * s2_ * cg - cc,
+            ],
+            axis=-1,
+        )
+        zero = jnp.zeros_like(s1_)
+        J = jnp.stack(
+            [
+                jnp.stack([zero, 2 * (s2_ - s3_ * ca), 2 * (s3_ - s2_ * ca)], -1),
+                jnp.stack([2 * (s1_ - s3_ * cb), zero, 2 * (s3_ - s1_ * cb)], -1),
+                jnp.stack([2 * (s1_ - s2_ * cg), 2 * (s2_ - s1_ * cg), zero], -1),
+            ],
+            axis=-2,
+        )
+        J = J + 1e-9 * jnp.eye(3)
+        ds = jnp.linalg.solve(J, g[..., None])[..., 0]
+        ds = jnp.where(jnp.isfinite(ds), ds, 0.0)
+        return s - ds, None
+
+    s_vec, _ = jax.lax.scan(
+        newton_s, jnp.stack([s1, s2, s3], axis=-1), None, length=3
+    )
+    scale_back = jnp.sqrt(dscale)
+    s1, s2, s3 = (s_vec[..., i] * scale_back for i in range(3))
+    valid = (
+        near_real & (den > 1e-12) & (s1 > 0) & (s2 > 0) & (s3 > 0)
+        & jnp.isfinite(s1) & jnp.isfinite(s2) & jnp.isfinite(s3)
+    )
+
+    Y = jnp.stack([s1, s2, s3], axis=-1)[..., None] * f[None, :, :]  # (4,3,3)
+
+    def kabsch(Ycam):
+        Xc = pts3d - pts3d.mean(0)
+        Yc = Ycam - Ycam.mean(0)
+        Hm = jnp.einsum("ni,nj->ij", Xc, Yc, precision=_HI)
+        U, _, Vt = jnp.linalg.svd(Hm)
+        d = jnp.linalg.det(Vt.T @ U.T)
+        R = (Vt.T * jnp.array([1.0, 1.0, 0.0])) @ U.T + d * (
+            Vt.T * jnp.array([0.0, 0.0, 1.0])
+        ) @ U.T
+        t = Ycam.mean(0) - R @ pts3d.mean(0)
+        return jnp.concatenate([R, t[:, None]], axis=1)
+
+    Ps = jax.vmap(kabsch)(Y)  # (4, 3, 4)
+    return jnp.where(valid[:, None, None], Ps, jnp.nan)
+
+
 class PnPResult(NamedTuple):
     R: jax.Array  # (3, 3)
     t: jax.Array  # (3,)
@@ -205,6 +381,8 @@ def solve_pnp_ransac(
     refine_iters: int = 8,
     n_starts: int = 3,
     identity_prior_anneal: float = 48.0,
+    weights: jax.Array | None = None,
+    minimal: str = "dlt6",
 ) -> PnPResult:
     """Robust PnP. ``pts2d`` are pixel observations; ``pts3d`` object points.
 
@@ -225,13 +403,30 @@ def solve_pnp_ransac(
       from ~180 good matches), while small-motion frames converge fine
       from the constant-position prior. Set ``identity_prior_anneal=0`` to
       disable.
+
+    ``weights`` (N,, optional) is a per-correspondence quality prior that
+    biases minimal-sample draws (see ransac_sample_indices); scoring and
+    refinement still treat all valid points equally, so a wrong prior can
+    only cost hypothesis diversity, never flip the consensus.
+
+    ``minimal`` picks the minimal solver: ``"dlt6"`` (6-point DLT, raw
+    projective hypotheses) or ``"p3p"`` (3-point Grunert, up to 4 rigid
+    poses per sample — use at low inlier rates, where p^3 vs p^6 decides
+    whether any clean hypothesis exists in the batch).
     """
     xn = undistort_points(pts2d, cam)  # normalized coords for the DLT
-    idx = ransac_sample_indices(key, valid, n_hypotheses, 6)
-
-    # raw (un-orthogonalized) hypotheses: scoring is scale/sign-invariant
-    A = _dlt_rows(pts3d[idx], xn[idx])  # (H, 12, 12)
-    Ps = nullspace_inverse_iteration(A, 12).reshape(-1, 3, 4)
+    if minimal == "p3p":
+        idx = ransac_sample_indices(key, valid, n_hypotheses, 3, weights)
+        fbear = jnp.concatenate(
+            [xn, jnp.ones(xn.shape[:-1] + (1,), xn.dtype)], axis=-1
+        )
+        fbear = fbear / jnp.linalg.norm(fbear, axis=-1, keepdims=True)
+        Ps = jax.vmap(_p3p_grunert)(pts3d[idx], fbear[idx]).reshape(-1, 3, 4)
+    else:
+        idx = ransac_sample_indices(key, valid, n_hypotheses, 6, weights)
+        # raw (un-orthogonalized) hypotheses: scoring is scale/sign-invariant
+        A = _dlt_rows(pts3d[idx], xn[idx])  # (H, 12, 12)
+        Ps = nullspace_inverse_iteration(A, 12).reshape(-1, 3, 4)
     errs = jax.vmap(lambda P: _reproject_error(P, pts3d, pts2d, cam))(Ps)
     inl = (errs < reproj_threshold) & valid[None, :]
     counts = jnp.sum(inl, axis=1)

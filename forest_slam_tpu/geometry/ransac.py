@@ -23,6 +23,7 @@ def ransac_sample_indices(
     valid: jax.Array,
     n_hypotheses: int,
     sample_size: int,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Draw (n_hypotheses, sample_size) distinct indices of valid points.
 
@@ -30,9 +31,18 @@ def ransac_sample_indices(
     never selects invalid slots (as long as >= sample_size points are valid;
     with fewer, duplicates appear but the caller's degeneracy handling
     applies).
+
+    ``weights`` (N,) biases the draw: adding log-weights to the Gumbel
+    noise samples each minimal set *without replacement* proportionally to
+    the weights (Gumbel top-k = weighted reservoir sampling). With a
+    correspondence-quality prior this raises the clean-hypothesis rate from
+    p_uniform^k to p_weighted^k — decisive at the ~0.3 inlier rates of
+    wide-baseline matching where p^6 would starve a 1024-hypothesis batch.
     """
     n = valid.shape[0]
     g = jax.random.gumbel(key, (n_hypotheses, n))
+    if weights is not None:
+        g = g + jnp.log(jnp.maximum(weights, 1e-9))[None, :]
     g = jnp.where(valid[None, :], g, -jnp.inf)
     _, idx = jax.lax.top_k(g, sample_size)
     return idx

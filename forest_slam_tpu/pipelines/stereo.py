@@ -91,6 +91,17 @@ class StereoConfig(NamedTuple):
     # tracking needs e.g. (1.0, 1.2, 1.44) to absorb forward-motion
     # apparent-scale growth.
     match_refine_scales: tuple = (1.0,)
+    # Bias PnP-RANSAC minimal-sample draws by the refiner's SAD-valley
+    # distinctness (refine_matches_quality -> ransac_sample_indices
+    # weights). Only affects which hypotheses get TRIED, never the
+    # consensus scoring. At wide-baseline inlier rates (~0.3 after the
+    # refine filter) uniform 6-point sampling yields ~1 clean hypothesis
+    # per 1024; quality weighting multiplies that by the (weighted)
+    # inlier-odds ratio to the 6th power.
+    pnp_quality_sampling: bool = True
+    # PnP minimal solver: "dlt6" (6-point DLT) or "p3p" (3-point Grunert;
+    # p^3 vs p^6 clean-hypothesis odds — the wide-baseline choice).
+    pnp_minimal: str = "dlt6"
 
 
 class StereoState(NamedTuple):
@@ -170,10 +181,14 @@ def _match_and_pnp(
     idx = jnp.where(mask, matches, 0)
     valid = mask & depth_ok & prev_feats.valid
     obs = cur_feats.xy[idx]  # current-frame pixel observations
+    weights = None
     if cfg.match_refine_radius > 0 and img_prev is not None:
-        from forest_slam_tpu.frontend.refine import RefineConfig, refine_matches
+        from forest_slam_tpu.frontend.refine import (
+            RefineConfig,
+            refine_matches_quality,
+        )
 
-        obs, ok_r = refine_matches(
+        obs, ok_r, quality = refine_matches_quality(
             img_prev, img_cur, prev_feats.xy, obs, valid,
             RefineConfig(
                 radius=cfg.match_refine_radius,
@@ -182,6 +197,9 @@ def _match_and_pnp(
         )
         if cfg.match_refine_filter:
             valid = valid & ok_r
+        if cfg.pnp_quality_sampling:
+            # floor so no valid point is unsampleable on a flat valley
+            weights = jnp.maximum(quality, 0.05)
 
     pnp = solve_pnp_ransac(
         pts3d,
@@ -193,6 +211,8 @@ def _match_and_pnp(
         n_hypotheses=cfg.n_hypotheses,
         min_inliers=cfg.min_points,
         refine_iters=cfg.refine_iters,
+        weights=weights,
+        minimal=cfg.pnp_minimal,
     )
     n_valid = jnp.sum(valid)
     ok = (

@@ -54,6 +54,14 @@ def main():
         "--match-threshold", type=float, default=0.2,
         help="SuperGlue score threshold (reference default 0.2)",
     )
+    ap.add_argument(
+        "--hypotheses", type=int, default=1024,
+        help="PnP-RANSAC hypothesis batch size",
+    )
+    ap.add_argument(
+        "--minimal", default="dlt6", choices=["dlt6", "p3p"],
+        help="PnP minimal solver",
+    )
     ap.add_argument("--scene", default="corridor")
     args = ap.parse_args()
 
@@ -84,11 +92,12 @@ def main():
 
     cfg = StereoConfig(
         orb=OrbConfig(n_features=512, n_levels=8),
-        n_hypotheses=1024,
+        n_hypotheses=args.hypotheses,
         compose_mode="odometry",
         match_refine_radius=args.refine_radius,
         match_refine_filter=not args.no_refine_filter,
         match_refine_scales=tuple(args.refine_scales),
+        pnp_minimal=args.minimal,
     )
 
     frontends = {}

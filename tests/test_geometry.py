@@ -150,6 +150,83 @@ def test_pnp_ransac_with_outliers(rng):
     assert t_err < 0.05, f"translation error {t_err}"
 
 
+def test_solve_quartic_matches_numpy_roots(rng):
+    from forest_slam_tpu.geometry.pnp import _solve_quartic
+
+    worst = 0.0
+    for _ in range(100):
+        c = rng.normal(size=5)
+        r_np = np.roots(c)
+        r_my = np.asarray(_solve_quartic(*[jnp.float32(x) for x in c]))
+        for r in r_np:
+            worst = max(worst, np.min(np.abs(r_my - r)) / (1 + abs(r)))
+    assert worst < 0.02, worst
+
+
+def test_p3p_recovers_exact_pose(rng):
+    """Grunert P3P returns the true pose among its <=4 candidates for
+    noise-free minimal samples (random poses, random depth structure)."""
+    from forest_slam_tpu.geometry.pnp import _p3p_grunert
+
+    tried = solved = 0
+    for _ in range(60):
+        Q = Rotation.random(random_state=rng).as_matrix()
+        t = rng.normal(size=3) * 0.5 + np.array([0, 0, 0.5])
+        X = rng.uniform(-2, 2, (3, 3)) + np.array([0, 0, 6.0])
+        Y = X @ Q.T + t
+        if (Y[:, 2] <= 0.1).any():
+            continue
+        tried += 1
+        f = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+        Ps = np.asarray(
+            _p3p_grunert(jnp.asarray(X, jnp.float32), jnp.asarray(f, jnp.float32))
+        )
+        best = np.inf
+        for P in Ps:
+            if not np.isfinite(P).all():
+                continue
+            best = min(
+                best,
+                max(np.abs(P[:, :3] - Q).max(), np.abs(P[:, 3] - t).max()),
+            )
+        solved += best < 1e-2
+    # a small near-degenerate tail is fine for RANSAC (it only thins the
+    # clean-hypothesis count); the bulk must be exact
+    assert solved >= 0.9 * tried, (solved, tried)
+
+
+def test_pnp_ransac_p3p_low_inlier_rate(rng):
+    """The 3-point minimal solver tracks at inlier rates that starve the
+    6-point DLT (p^3 vs p^6): 20% inliers, 1024 hypotheses."""
+    cam = make_cam()
+    pts3d = rng.uniform([-2, -1.5, 4], [2, 1.5, 12], size=(N, 3))
+    R = Rotation.from_rotvec(rng.normal(size=3) * 0.1).as_matrix()
+    t = rng.normal(size=3) * 0.5
+    pc = (R @ pts3d.T).T + t
+    obs = np.asarray(project_points(jnp.asarray(pc), cam))
+    obs = obs + rng.normal(scale=0.2, size=obs.shape)
+    n_out = int(N * 0.8)
+    obs[:n_out] = rng.uniform([0, 0], [640, 480], size=(n_out, 2))
+
+    res = solve_pnp_ransac(
+        jnp.asarray(pts3d, jnp.float32),
+        jnp.asarray(obs, jnp.float32),
+        jnp.ones((N,), bool),
+        cam,
+        jax.random.PRNGKey(2),
+        reproj_threshold=1.0,
+        minimal="p3p",
+    )
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[n_out:].mean() > 0.8
+    rot_err = np.degrees(
+        np.linalg.norm(Rotation.from_matrix(np.asarray(res.R).T @ R).as_rotvec())
+    )
+    assert rot_err < 0.3, rot_err
+    assert np.linalg.norm(np.asarray(res.t) - t) < 0.08
+
+
 def test_pnp_matches_opencv_quality(rng):
     cv2 = pytest.importorskip("cv2")
     cam = make_cam()
