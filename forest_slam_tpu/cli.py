@@ -63,6 +63,13 @@ def _add_common(p, stereo: bool):
         p.add_argument("--ba-iters", type=int, default=8)
         p.add_argument("--match-refine-radius", type=int, default=0,
                        help="post-match SAD refinement radius px (0 = off)")
+        p.add_argument("--wide-baseline", action="store_true",
+                       help="large keyframe-interval preset (the thesis's "
+                            "K=20 regime): SAD refinement radius 24 with "
+                            "scale search (1.0-1.7), 3-point P3P "
+                            "minimal solver, multi-octave learned "
+                            "extraction — tracks K=20 where the plain "
+                            "matcher collapses (BASELINE.md K-ablation)")
         p.add_argument("--rectify", action="store_true",
                        help="stereo-rectify instead of the reference's "
                             "unrectified parity behavior (quirk B3)")
@@ -101,8 +108,24 @@ def _build_frontend(args, cfg_orb, image_shape):
         load_learned_frontend,
     )
 
-    fe, params = load_learned_frontend(image_shape, args.weights or DEFAULT_PATH)
+    wide = getattr(args, "wide_baseline", False)
+    fe, params = load_learned_frontend(
+        image_shape, args.weights or DEFAULT_PATH,
+        scales=(1.0, 0.707, 0.5) if wide else (1.0,),
+    )
     return learned_frontend(fe), params
+
+
+def _apply_wide_baseline(args, cfg):
+    """StereoConfig preset for large keyframe intervals (validated by
+    scripts/eval_k_ablation.py at K=20, BASELINE.md K-ablation table)."""
+    if not getattr(args, "wide_baseline", False):
+        return cfg
+    return cfg._replace(
+        match_refine_radius=max(args.match_refine_radius, 24),
+        match_refine_scales=(1.0, 1.2, 1.44, 1.7),
+        pnp_minimal="p3p",
+    )
 
 
 def _dump_match_debug(
@@ -224,6 +247,7 @@ def cmd_stereo(args) -> int:
             sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode,
             match_refine_radius=args.match_refine_radius,
         )
+        cfg = _apply_wide_baseline(args, cfg)
     else:
         from forest_slam_tpu.io.calib import botanic_garden_rig
         from forest_slam_tpu.io.dataset import load_stereo_from_bag
@@ -236,6 +260,7 @@ def cmd_stereo(args) -> int:
         il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
         cfg = StereoConfig(compose_mode=args.compose_mode,
                            match_refine_radius=args.match_refine_radius)
+        cfg = _apply_wide_baseline(args, cfg)
         if args.rectify:
             from forest_slam_tpu.stereo.rectify import rectify_images, stereo_rectify
 
@@ -295,6 +320,7 @@ def cmd_slam(args) -> int:
         stereo = StereoConfig(
             sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode
         )
+        stereo = _apply_wide_baseline(args, stereo)
     else:
         from forest_slam_tpu.io.calib import botanic_garden_rig
         from forest_slam_tpu.io.dataset import load_stereo_from_bag
@@ -306,6 +332,7 @@ def cmd_slam(args) -> int:
         )
         il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
         stereo = StereoConfig(compose_mode=args.compose_mode)
+        stereo = _apply_wide_baseline(args, stereo)
         if args.rectify:
             from forest_slam_tpu.stereo.rectify import rectify_images, stereo_rectify
 

@@ -456,8 +456,23 @@ def render_sequence(
         world = make_corridor_world(jax.random.PRNGKey(seed))
     rig = default_rig(height, width)
     Ts = corridor_trajectory(n_frames, speed=speed)
-    imgs_l, imgs_r, deps_l = _render_sequence_stacks(
-        world, jnp.asarray(Ts), rig.left.K, rig.T_left_right, height, width
+    # chunk the device render: one lax.map over the whole sequence is a
+    # single minutes-long dispatch at 960x600 x 160 frames x ~10^2-trunk
+    # scan, which the tunneled TPU worker kills (observed repeated
+    # "worker crashed" on forest renders); bounded chunks also cap the
+    # output HBM footprint to chunk x 3 x H x W
+    chunk = 32
+    parts = []
+    for s in range(0, n_frames, chunk):
+        e = min(s + chunk, n_frames)
+        parts.append(
+            _render_sequence_stacks(
+                world, jnp.asarray(Ts[s:e]), rig.left.K, rig.T_left_right,
+                height, width,
+            )
+        )
+    imgs_l, imgs_r, deps_l = (
+        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3)
     )
     ts = 1.6e9 + np.arange(n_frames) * dt
     return SyntheticSequence(

@@ -126,3 +126,21 @@ def test_cli_mono_bag(stereo_bag, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_cli_wide_baseline_preset():
+    """--wide-baseline maps to the validated K=20 StereoConfig preset."""
+    from forest_slam_tpu.cli import _apply_wide_baseline
+    from forest_slam_tpu.pipelines.stereo import StereoConfig
+
+    class A:
+        wide_baseline = True
+        match_refine_radius = 0
+
+    cfg = _apply_wide_baseline(A(), StereoConfig())
+    assert cfg.match_refine_radius == 24
+    assert cfg.match_refine_scales == (1.0, 1.2, 1.44, 1.7)
+    assert cfg.pnp_minimal == "p3p"
+    A.wide_baseline = False
+    cfg2 = _apply_wide_baseline(A(), StereoConfig())
+    assert cfg2 == StereoConfig()
