@@ -51,17 +51,27 @@ class RefineConfig(NamedTuple):
     scales: tuple = (1.0,)
 
 
-def _resolve_cost_path(cfg: RefineConfig) -> str:
+def _resolve_cost_path(
+    cfg: RefineConfig, img_shapes: tuple | None = None
+) -> str:
     if cfg.cost_path != "auto":
         return cfg.cost_path
     on_tpu = jax.default_backend() == "tpu"
-    # radius cap: the kernel's (K, n, 128) f32 cost block scales with
-    # n = 2R+1; measured R=24 fits the ~16 MB scoped-VMEM budget at
-    # K=1024, R=32 exceeds it by 144 KB (AOT compile OOM)
+    # VMEM budget: the kernel holds both padded frames + a (K, n8, 128)
+    # f32 cost block in ~16 MB scoped VMEM. Measured: 960x600 frames fit
+    # at R=24 (16.14 MB incl. spills at R=32 -> OOM by 144 KB); a 1.44x
+    # upscaled frame 0 (896x1664 padded) overflows at R=24 by 640 KB. So
+    # gate on radius AND total padded frame bytes (<= ~8.5 MB).
+    frames_ok = True
+    if img_shapes is not None:
+        (h0, w0), (h1, w1) = img_shapes
+        padded = (h0 + 40) * (w0 + 400) + (h1 + 104) * (w1 + 440)
+        frames_ok = padded * 4 <= 8_500_000
     fits = (
         cfg.template <= 8
         and 2 * cfg.radius + cfg.template <= 128
         and cfg.radius <= 24
+        and frames_ok
     )
     return "pallas" if (on_tpu and fits) else "xla"
 
@@ -133,7 +143,7 @@ def _refine_single(
     xi1 = jnp.clip(jnp.round(xy1[:, 0]).astype(jnp.int32), 0, W1 - 1)
     yi1 = jnp.clip(jnp.round(xy1[:, 1]).astype(jnp.int32), 0, H1 - 1)
 
-    path = _resolve_cost_path(cfg)
+    path = _resolve_cost_path(cfg, ((H0, W0), (H1, W1)))
     if path in ("pallas", "pallas_interpret"):
         from forest_slam_tpu.frontend.pallas_refine import refine_cost_volume
 

@@ -19,6 +19,7 @@ TPU itself, and tests render tiny sequences on CPU.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import NamedTuple
 
@@ -442,37 +443,55 @@ def render_sequence(
     speed: float = 0.15,
     dt: float = 0.1,
     scene: str = "corridor",
+    device: str | None = None,
 ) -> SyntheticSequence:
     """Render a full stereo sequence (host convenience wrapper).
 
     ``scene``: "corridor" (textured box world) or "forest" (trunks +
-    clutter + occlusion — the BotanicGarden-domain proxy)."""
-    if scene == "forest":
-        world = make_forest_world(
-            jax.random.PRNGKey(seed),
-            z_range=(-5.0, n_frames * speed + 20.0),
-        )
-    else:
-        world = make_corridor_world(jax.random.PRNGKey(seed))
+    clutter + occlusion — the BotanicGarden-domain proxy).
+
+    ``device``: platform name ("cpu") to pin the render to; the stacks are
+    then fetched to host numpy per chunk. Used to keep the long forest
+    ray-cast off the tunneled TPU, whose worker intermittently dies under
+    multi-minute render dispatches (the consumer pipeline re-uploads the
+    frames once)."""
+    # rig construction stays outside the device context: arrays created
+    # under default_device are committed there, and a cpu-committed
+    # T_left_right would fault the TPU consumer pipeline
     rig = default_rig(height, width)
-    Ts = corridor_trajectory(n_frames, speed=speed)
-    # chunk the device render: one lax.map over the whole sequence is a
-    # single minutes-long dispatch at 960x600 x 160 frames x ~10^2-trunk
-    # scan, which the tunneled TPU worker kills (observed repeated
-    # "worker crashed" on forest renders); bounded chunks also cap the
-    # output HBM footprint to chunk x 3 x H x W
-    chunk = 32
-    parts = []
-    for s in range(0, n_frames, chunk):
-        e = min(s + chunk, n_frames)
-        parts.append(
-            _render_sequence_stacks(
+    ctx = (
+        jax.default_device(jax.devices(device)[0])
+        if device is not None
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        if scene == "forest":
+            world = make_forest_world(
+                jax.random.PRNGKey(seed),
+                z_range=(-5.0, n_frames * speed + 20.0),
+            )
+        else:
+            world = make_corridor_world(jax.random.PRNGKey(seed))
+        Ts = corridor_trajectory(n_frames, speed=speed)
+        # chunk the device render: one lax.map over the whole sequence is a
+        # single minutes-long dispatch at 960x600 x 160 frames x ~10^2-trunk
+        # scan, which the tunneled TPU worker kills (observed repeated
+        # "worker crashed" on forest renders); bounded chunks also cap the
+        # output HBM footprint to chunk x 3 x H x W
+        chunk = 32
+        parts = []
+        for s in range(0, n_frames, chunk):
+            e = min(s + chunk, n_frames)
+            part = _render_sequence_stacks(
                 world, jnp.asarray(Ts[s:e]), rig.left.K, rig.T_left_right,
                 height, width,
             )
-        )
+            if device is not None:
+                part = tuple(np.asarray(p) for p in part)
+            parts.append(part)
+    cat = np if device is not None else jnp
     imgs_l, imgs_r, deps_l = (
-        jnp.concatenate([p[i] for p in parts], axis=0) for i in range(3)
+        cat.concatenate([p[i] for p in parts], axis=0) for i in range(3)
     )
     ts = 1.6e9 + np.arange(n_frames) * dt
     return SyntheticSequence(

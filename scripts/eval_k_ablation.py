@@ -63,6 +63,12 @@ def main():
         help="PnP minimal solver",
     )
     ap.add_argument("--scene", default="corridor")
+    ap.add_argument(
+        "--render-cpu", action="store_true",
+        help="ray-cast the sequence on the CPU backend and cache it to "
+        "/tmp (the tunneled TPU worker intermittently dies under "
+        "multi-minute forest render dispatches); VO still runs on TPU",
+    )
     args = ap.parse_args()
 
     import jax
@@ -75,7 +81,6 @@ def main():
     from forest_slam_tpu.eval import ape_translation
     from forest_slam_tpu.frontend import OrbConfig
     from forest_slam_tpu.frontend.base import learned_frontend, orb_frontend
-    from forest_slam_tpu.io.synthetic import render_sequence
     from forest_slam_tpu.io.tum import Trajectory
     from forest_slam_tpu.pipelines.stereo import (
         StereoConfig,
@@ -84,8 +89,10 @@ def main():
 
     H, W = args.height, args.width
     # one long 10 Hz walk; stride-K subsets share the compiled pipeline
-    seq = render_sequence(
-        args.frames, height=H, width=W, speed=0.15, scene=args.scene
+    from _render_cache import cached_render_sequence
+
+    seq = cached_render_sequence(
+        args.frames, H, W, 0.15, args.scene, render_cpu=args.render_cpu
     )
     rig = seq.rig
     gt = np.asarray(seq.T_world_cam, np.float64)

@@ -48,6 +48,11 @@ def main():
     )
     ap.add_argument("--refine-radius", type=int, default=12)
     ap.add_argument("--match-threshold", type=float, default=0.2)
+    ap.add_argument(
+        "--render-cpu", action="store_true",
+        help="ray-cast on the CPU backend with an /tmp cache (keeps the "
+        "long render off the flaky TPU tunnel)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -59,18 +64,19 @@ def main():
     from forest_slam_tpu.eval import ape_translation
     from forest_slam_tpu.frontend import OrbConfig
     from forest_slam_tpu.frontend.base import learned_frontend, orb_frontend
-    from forest_slam_tpu.io.synthetic import render_sequence
     from forest_slam_tpu.io.tum import Trajectory
     from forest_slam_tpu.pipelines.stereo import (
         StereoConfig,
         run_stereo_vo_batched,
     )
 
+    from _render_cache import cached_render_sequence
+
     for res in args.resolutions:
         H, W = (int(x) for x in res.split("x"))
-        seq = render_sequence(
-            args.frames, height=H, width=W, speed=args.speed,
-            scene=args.scene,
+        seq = cached_render_sequence(
+            args.frames, H, W, args.speed, args.scene,
+            render_cpu=args.render_cpu,
         )
         gt = np.asarray(seq.T_world_cam, np.float64)
         cfg = StereoConfig(
