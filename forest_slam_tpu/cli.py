@@ -10,6 +10,7 @@ scripts with hard-coded paths (SURVEY.md §5 "Config / flag system"):
   forest-slam gt-map  — gt_mapping.py      (GT lidar map from a bag)
   forest-slam eval    — the evo step       (APE/RPE between TUM files)
   forest-slam plot    — evo's plot step    (trajectory/APE/xyz/speed pngs)
+  forest-slam view    — the RViz surface   (interactive 3D viewer HTML)
   forest-slam train-frontend — train SuperPoint+SuperGlue weights
 
 Inputs are either a rosbag (--bag) or the synthetic corridor (--synthetic
@@ -53,6 +54,9 @@ def _add_common(p, stereo: bool):
                    help="write side-by-side keypoint/match pngs for a "
                         "sample of frame pairs (the reference's drawMatches "
                         "debug surface, stereo_slam.py:248-260)")
+    p.add_argument("--viewer-out", default=None, metavar="HTML",
+                   help="write an interactive 3D viewer (trajectory + map "
+                        "when available — the RViz-surface equivalent)")
     if stereo:
         p.add_argument("--map-out", default=None, help="PLY map output path")
         p.add_argument("--voxel", type=float, default=None,
@@ -222,6 +226,11 @@ def cmd_mono(args) -> int:
     ok = np.asarray(outs.ok)
     print(f"mono: {len(traj)} poses -> {args.out} "
           f"(tracked {int(ok.sum())}/{ok.size})")
+    if args.viewer_out:
+        from forest_slam_tpu.eval.viewer import write_viewer_html
+
+        write_viewer_html(args.viewer_out, {"estimate": traj})
+        print(f"viewer -> {args.viewer_out}")
     if args.debug_matches:
         _dump_match_debug(args.debug_matches, images, frontend, fparams)
     return 0
@@ -287,12 +296,19 @@ def cmd_stereo(args) -> int:
     ok = np.asarray(outs.ok)
     print(f"stereo: {len(traj)} poses -> {args.out} "
           f"(tracked {int(ok.sum())}/{ok.size})")
-    if args.map_out:
+    cloud = None
+    if args.map_out or args.viewer_out:
         cloud = accumulate_map(
             np.asarray(outs.map_points), np.asarray(outs.map_valid), args.voxel
         )
+    if args.map_out:
         write_ply(args.map_out, cloud)
         print(f"map: {cloud.shape[0]} points -> {args.map_out}")
+    if args.viewer_out:
+        from forest_slam_tpu.eval.viewer import write_viewer_html
+
+        write_viewer_html(args.viewer_out, {"estimate": traj}, points=cloud)
+        print(f"viewer -> {args.viewer_out}")
     if args.debug_matches:
         _dump_match_debug(
             args.debug_matches, il, frontend, fparams,
@@ -365,6 +381,11 @@ def cmd_slam(args) -> int:
         f"slam: {len(traj)} poses -> {args.out} "
         f"(tracked {int(ok.sum())}/{ok.size}, loops {int(outs.n_loops)})"
     )
+    if args.viewer_out:
+        from forest_slam_tpu.eval.viewer import write_viewer_html
+
+        write_viewer_html(args.viewer_out, {"estimate": traj})
+        print(f"viewer -> {args.viewer_out}")
     if args.debug_matches:
         _dump_match_debug(
             args.debug_matches, il, frontend, fparams,
@@ -431,6 +452,36 @@ def cmd_plot(args) -> int:
     plot_speeds(pre + "speeds.png", {"estimate": est}, gt=gt)
     print(json.dumps(stats, indent=2))
     print(f"plots -> {pre}{{traj,ape,xyz,speeds}}.png")
+    return 0
+
+
+def cmd_view(args) -> int:
+    """Interactive 3D viewer HTML from TUM trajectories + optional PLY map
+    (the offline equivalent of the reference's live RViz surface)."""
+    import numpy as np
+
+    from forest_slam_tpu.eval.viewer import write_viewer_html
+    from forest_slam_tpu.io.tum import read_tum
+
+    trajs = {}
+    for i, spec in enumerate(args.traj):
+        name, _, path = spec.rpartition("=")
+        if not name:
+            name, path = f"estimate {i}" if i else "estimate", spec
+        trajs[name] = read_tum(path)
+    if args.gt:
+        trajs["ground truth"] = read_tum(args.gt)
+    points = colors = None
+    if args.map:
+        from forest_slam_tpu.io.ply import read_ply
+
+        points, colors = read_ply(args.map, with_colors=True)
+        points = np.asarray(points, np.float32)
+    write_viewer_html(
+        args.out, trajs, points=points, point_colors=colors,
+        max_points=args.max_points,
+    )
+    print(f"viewer -> {args.out}")
     return 0
 
 
@@ -511,6 +562,19 @@ def main(argv=None) -> int:
     p.add_argument("--prefix", default="")
     p.add_argument("--no-scale", action="store_true", help="SE(3) alignment")
     p.set_defaults(fn=cmd_plot)
+
+    p = sub.add_parser(
+        "view", help="interactive 3D viewer HTML (RViz-surface equivalent)"
+    )
+    p.add_argument(
+        "--traj", action="append", default=[], metavar="[NAME=]TUM",
+        help="TUM trajectory, repeatable; optional NAME= label",
+    )
+    p.add_argument("--gt", help="ground-truth TUM trajectory")
+    p.add_argument("--map", help="PLY map cloud")
+    p.add_argument("--out", required=True, help="output .html")
+    p.add_argument("--max-points", type=int, default=400_000)
+    p.set_defaults(fn=cmd_view)
 
     p = sub.add_parser("train-frontend", help="train SuperPoint+SuperGlue")
     p.add_argument("--steps", type=int, default=2000)

@@ -6,8 +6,10 @@ from forest_slam_tpu.eval.metrics import (
     rpe_distance_ratio,
     evaluate_ate,
 )
+from forest_slam_tpu.eval.viewer import write_viewer_html
 
 __all__ = [
+    "write_viewer_html",
     "umeyama_alignment",
     "align_trajectory",
     "associate",

@@ -41,8 +41,11 @@ def write_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None) -
             f.write(rec.tobytes())
 
 
-def read_ply(path: str) -> np.ndarray:
-    """Read back points written by :func:`write_ply` (xyz only)."""
+def read_ply(path: str, with_colors: bool = False):
+    """Read back points written by :func:`write_ply`.
+
+    Returns (N, 3) xyz, or ((N, 3) xyz, (N, 3) uint8 rgb | None) when
+    ``with_colors`` is set."""
     with open(path, "rb") as f:
         n = 0
         has_color = False
@@ -60,5 +63,10 @@ def read_ply(path: str) -> np.ndarray:
                 dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
                        ("r", "u1"), ("g", "u1"), ("b", "u1")],
             )
-            return np.stack([rec["x"], rec["y"], rec["z"]], axis=1)
-        return np.frombuffer(f.read(n * 12), dtype="<f4").reshape(n, 3).copy()
+            xyz = np.stack([rec["x"], rec["y"], rec["z"]], axis=1)
+            if with_colors:
+                rgb = np.stack([rec["r"], rec["g"], rec["b"]], axis=1)
+                return xyz, rgb
+            return xyz
+        xyz = np.frombuffer(f.read(n * 12), dtype="<f4").reshape(n, 3).copy()
+        return (xyz, None) if with_colors else xyz
