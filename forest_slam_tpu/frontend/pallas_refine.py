@@ -7,25 +7,21 @@ gathers the same way stereo/pallas_sparse.py does: both images are DMA'd
 to VMEM once per (pair, keypoint-chunk) grid step and every per-keypoint
 access is an in-VMEM aligned load + rotate.
 
-Honest timing (v5e, 960x600, K=1024, R=24, batched B=8, host-fetch,
-scan-rep with real iteration dependence): pallas 11.3 ms/pair vs
-XLA-batched 10.5 — the kernel currently only matches XLA here; its
-advantage is flat scaling in R (in-VMEM loads are O(1) in R) and immunity
-to vmap-gather blowup. Known headroom (not yet taken): one (72, 256)
-window load per keypoint instead of 49 per-dy loads, and one (n, 128)
-store per keypoint instead of 49 dynamic-sublane row stores.
-
 Structure (deliberately restricted to the access patterns already proven
 on this toolchain by stereo/pallas_sparse.py — an earlier draft using
 multi-tile dynamic sublane rolls compiled 20 minutes and miscompiled):
 
   phase A (fori over k):  template (t x t) -> tpl_buf scratch (Kb, 8, 128)
-  phase B (static dy loop x fori over k):
-    band (8, 128) <- aligned (16, 256) load + rolls at (y1_k + dy, x1_k)
-    acc(ty, dx)   = sum_tx |tpl[ty, tx] - band[ty, dx + tx]|
-                    (lane_bcast of tpl columns vs static lane rolls)
-    cost(dy, dx)  = sum_{ty < t} acc  ->  one (1, 128) row store at
-                    [k, dy, :] (dynamic index on the k axis only)
+  phase B (fori over k):  ONE aligned (LR, 256) window load + 2 rolls at
+    (y1_k, x1_k), then for every template tap (ty, tx) a *static* slice
+    of the resident window accumulates |W[dy+ty, dx+tx] - tpl[ty, tx]|
+    over the whole (n_up, 128) cost block at once; one store per keypoint.
+
+An earlier phase B looped (k, dy) pairs — a fresh dynamic (16, 256) load,
+two dynamic rolls, and a dynamic-sublane row store per iteration: 25.6k
+serialized dynamic ops per pair measured 5.7 ms/pair at R=12, K=1024.
+The window-resident form does Kb dynamic loads instead of Kb*n and keeps
+the inner t*t taps static (lane/sublane shifts, no roll units).
 
 Cost semantics match refine.py's ``_cost_volume_xla`` (equivalence-tested
 in tests/test_refine.py; summation order differs, so f32 agreement is to
@@ -83,9 +79,11 @@ def _refine_kernel(
     cp0.wait()
     cp1.wait()
 
-    row_ok = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) < t
-    ).astype(jnp.float32)
+    n_up = _round_up(n, 8)
+    S = n + t - 1  # search-window side
+    # window load covers rows ybase..ybase+LR (sublane base r = y - ybase
+    # <= 7, plus S used rows, rounded up)
+    LR = _round_up(S, 8) + 16
 
     def load8(vmem, y, x):
         # the proven aligned-load pattern: fetch the (16, 256) super-tile
@@ -105,23 +103,38 @@ def _refine_kernel(
 
     jax.lax.fori_loop(0, Kb, phase_a, 0)
 
-    for dy in range(n):
-
-        def phase_b(k, _):
-            tpl = tpl_buf[k]  # (8, 128)
-            band = load8(v1, yi1_ref[b, k0 + k] + dy, xi1_ref[b, k0 + k])
-            acc = jnp.zeros((8, 128), jnp.float32)
+    # phase B, one keypoint per iteration: ONE aligned (LR, 256) window
+    # load, then every (dy, dx) cost in parallel — tap (ty, tx) adds
+    # |W[dy+ty, dx+tx] - tpl[ty, tx]| over the whole (n_up, 128) block via
+    # a static slice of the resident window, and the keypoint's full cost
+    # block is stored once. (v1 looped (k, dy) pairs with a fresh dynamic
+    # load + dynamic-row store each — n x more loop iterations, all
+    # dynamic-roll-bound; measured 5.7 ms/pair at R=12, K=1024.)
+    def phase_b(k, _):
+        tpl = tpl_buf[k]  # (8, 128)
+        y = yi1_ref[b, k0 + k]
+        x = xi1_ref[b, k0 + k]
+        ybase = (y // 8) * 8
+        xbase = (x // 128) * 128
+        tile = v1[pl.ds(ybase, LR), pl.ds(xbase, 256)]
+        tile = pltpu.roll(tile, (LR - (y - ybase)) % LR, 0)
+        W = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
+        acc = jnp.zeros((n_up, 128), jnp.float32)
+        for ty in range(t):
             for tx in range(t):
-                tcol = jax.lax.broadcast_in_dim(
-                    jax.lax.slice(tpl, (0, tx), (8, tx + 1)), (8, 128), (0, 1)
+                tval = jax.lax.broadcast_in_dim(
+                    jax.lax.slice(tpl, (ty, tx), (ty + 1, tx + 1)),
+                    (n_up, 128),
+                    (0, 1),
                 )
-                shifted = band if tx == 0 else pltpu.roll(band, 128 - tx, 1)
-                acc = acc + jnp.abs(tcol - shifted)
-            cost_row = jnp.sum(acc * row_ok, axis=0, keepdims=True)
-            cost_ref[0, pl.ds(k, 1), dy, :] = cost_row
-            return 0
+                sub = jax.lax.slice(
+                    W, (ty, tx), (ty + n_up, tx + 128)
+                )
+                acc = acc + jnp.abs(sub - tval)
+        cost_ref[0, pl.ds(k, 1), :, :] = acc[None]
+        return 0
 
-        jax.lax.fori_loop(0, Kb, phase_b, 0)
+    jax.lax.fori_loop(0, Kb, phase_b, 0)
 
 
 def refine_cost_volume_pallas(
