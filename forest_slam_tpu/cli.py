@@ -65,8 +65,11 @@ def _add_common(p, stereo: bool):
                        help="refine with sliding-window bundle adjustment")
         p.add_argument("--ba-window", type=int, default=5)
         p.add_argument("--ba-iters", type=int, default=8)
-        p.add_argument("--match-refine-radius", type=int, default=0,
-                       help="post-match SAD refinement radius px (0 = off)")
+        p.add_argument("--match-refine-radius", type=int, default=-1,
+                       help="post-match SAD refinement radius px; -1 = "
+                            "auto (12 for the learned front-end, whose "
+                            "detections need the sub-pixel alignment; 0 "
+                            "for ORB) — same defaults as bench.py")
         p.add_argument("--wide-baseline", action="store_true",
                        help="large keyframe-interval preset (the thesis's "
                             "K=20 regime): SAD refinement radius 24 with "
@@ -118,6 +121,13 @@ def _build_frontend(args, cfg_orb, image_shape):
         scales=(1.0, 0.707, 0.5) if wide else (1.0,),
     )
     return learned_frontend(fe), params
+
+
+def _resolve_refine_radius(args) -> None:
+    """-1 = auto: learned detections need the sub-pixel SAD alignment
+    (bench.py uses the same default), ORB corners don't."""
+    if getattr(args, "match_refine_radius", 0) < 0:
+        args.match_refine_radius = 12 if args.frontend == "sp" else 0
 
 
 def _apply_wide_baseline(args, cfg):
@@ -244,6 +254,8 @@ def cmd_stereo(args) -> int:
     from forest_slam_tpu.io.tum import write_tum
     from forest_slam_tpu.pipelines.stereo import StereoConfig, run_stereo_vo
 
+    _resolve_refine_radius(args)
+
     if args.synthetic:
         from forest_slam_tpu.io.synthetic import render_sequence
 
@@ -326,6 +338,7 @@ def cmd_slam(args) -> int:
     from forest_slam_tpu.pipelines.slam import SlamConfig, run_slam
     from forest_slam_tpu.pipelines.stereo import StereoConfig
 
+    _resolve_refine_radius(args)
     if args.synthetic:
         from forest_slam_tpu.io.synthetic import render_sequence
         from forest_slam_tpu.stereo import SgmConfig
@@ -334,7 +347,8 @@ def cmd_slam(args) -> int:
                               seed=args.seed, scene=args.scene)
         il, ir, ts, rig = seq.images_left, seq.images_right, seq.timestamps, seq.rig
         stereo = StereoConfig(
-            sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode
+            sgm=SgmConfig(num_disparities=48), compose_mode=args.compose_mode,
+            match_refine_radius=args.match_refine_radius,
         )
         stereo = _apply_wide_baseline(args, stereo)
     else:
@@ -347,7 +361,8 @@ def cmd_slam(args) -> int:
             frame_stride=args.frame_stride,
         )
         il, ir, ts = seq.images_left, seq.images_right, seq.timestamps
-        stereo = StereoConfig(compose_mode=args.compose_mode)
+        stereo = StereoConfig(compose_mode=args.compose_mode,
+                              match_refine_radius=args.match_refine_radius)
         stereo = _apply_wide_baseline(args, stereo)
         if args.rectify:
             from forest_slam_tpu.stereo.rectify import rectify_images, stereo_rectify
