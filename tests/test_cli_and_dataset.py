@@ -144,3 +144,30 @@ def test_cli_wide_baseline_preset():
     A.wide_baseline = False
     cfg2 = _apply_wide_baseline(A(), StereoConfig())
     assert cfg2 == StereoConfig()
+
+
+def test_cli_refine_radius_auto_default():
+    """-1 resolves per front-end: learned gets the sub-pixel SAD
+    alignment (bench.py's default), ORB corners run bare."""
+    from forest_slam_tpu.cli import _resolve_refine_radius
+
+    class A:
+        frontend = "sp"
+        match_refine_radius = -1
+
+    _resolve_refine_radius(A)
+    assert A.match_refine_radius == 12
+
+    class B:
+        frontend = "orb"
+        match_refine_radius = -1
+
+    _resolve_refine_radius(B)
+    assert B.match_refine_radius == 0
+
+    class C:  # explicit value wins
+        frontend = "sp"
+        match_refine_radius = 7
+
+    _resolve_refine_radius(C)
+    assert C.match_refine_radius == 7
