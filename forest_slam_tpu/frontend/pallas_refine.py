@@ -51,6 +51,7 @@ def _refine_kernel(
     yi0_ref,  # (B, Kp) int32 SMEM
     xi1_ref,  # (B, Kp) int32 SMEM — frame-1 match-estimate cols
     yi1_ref,  # (B, Kp) int32 SMEM
+    nv_ref,  # (B,) int32 SMEM — keypoints to actually refine (rest zero)
     img0_ref,  # (B, Hp0, Wp0) f32 ANY — frame 0, padded
     img1_ref,  # (B, Hp1, Wp1) f32 ANY — frame 1, padded
     cost_ref,  # (1, Kb, n_up, 128) f32 out block (VMEM)
@@ -68,73 +69,86 @@ def _refine_kernel(
     kc = pl.program_id(1)
     n = 2 * R + 1
     k0 = kc * Kb
+    # per-chunk live count: callers compact valid keypoints to the front
+    # (refine.py), so whole trailing chunks cost one zero-store and the
+    # last live chunk bounds its loops — refine work scales with the
+    # matched fraction, not the padded K
+    kb_eff = jnp.clip(nv_ref[b] - k0, 0, Kb)
 
-    # DMA the pair's images every grid step (no reliance on scratch
-    # persistence across steps; ~0.15 ms/pair of extra HBM traffic at
-    # 960x600 x 16 chunks — small next to the gathers it replaces)
-    cp0 = pltpu.make_async_copy(img0_ref.at[b], v0, sem0)
-    cp1 = pltpu.make_async_copy(img1_ref.at[b], v1, sem1)
-    cp0.start()
-    cp1.start()
-    cp0.wait()
-    cp1.wait()
+    @pl.when(kb_eff < Kb)
+    def _zero_tail():
+        cost_ref[...] = jnp.zeros_like(cost_ref)
 
-    n_up = _round_up(n, 8)
-    S = n + t - 1  # search-window side
-    # window load covers rows ybase..ybase+LR (sublane base r = y - ybase
-    # <= 7, plus S used rows, rounded up)
-    LR = _round_up(S, 8) + 16
+    @pl.when(kb_eff > 0)
+    def _live_chunk():
+        # DMA the pair's images every live grid step (no reliance on
+        # scratch persistence across steps; ~0.15 ms/pair of extra HBM
+        # traffic at 960x600 x 16 chunks — small next to the gathers it
+        # replaces)
+        cp0 = pltpu.make_async_copy(img0_ref.at[b], v0, sem0)
+        cp1 = pltpu.make_async_copy(img1_ref.at[b], v1, sem1)
+        cp0.start()
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
 
-    def load8(vmem, y, x):
-        # the proven aligned-load pattern: fetch the (16, 256) super-tile
-        # containing (y, x), rotate the remainder offsets away, keep the
-        # leading (8, 128) corner
-        ybase = (y // 8) * 8
-        xbase = (x // 128) * 128
-        tile = vmem[pl.ds(ybase, 16), pl.ds(xbase, 256)]
-        tile = pltpu.roll(tile, (16 - (y - ybase)) % 16, 0)
-        tile = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
-        return tile[:8, :128]
+        n_up = _round_up(n, 8)
+        S = n + t - 1  # search-window side
+        # window load covers rows ybase..ybase+LR (sublane base
+        # r = y - ybase <= 7, plus S used rows, rounded up)
+        LR = _round_up(S, 8) + 16
 
-    def phase_a(k, _):
-        tpl = load8(v0, yi0_ref[b, k0 + k], xi0_ref[b, k0 + k])
-        tpl_buf[pl.ds(k, 1)] = tpl[None]
-        return 0
+        def load8(vmem, y, x):
+            # the proven aligned-load pattern: fetch the (16, 256)
+            # super-tile containing (y, x), rotate the remainder offsets
+            # away, keep the leading (8, 128) corner
+            ybase = (y // 8) * 8
+            xbase = (x // 128) * 128
+            tile = vmem[pl.ds(ybase, 16), pl.ds(xbase, 256)]
+            tile = pltpu.roll(tile, (16 - (y - ybase)) % 16, 0)
+            tile = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
+            return tile[:8, :128]
 
-    jax.lax.fori_loop(0, Kb, phase_a, 0)
+        def phase_a(k, _):
+            tpl = load8(v0, yi0_ref[b, k0 + k], xi0_ref[b, k0 + k])
+            tpl_buf[pl.ds(k, 1)] = tpl[None]
+            return 0
 
-    # phase B, one keypoint per iteration: ONE aligned (LR, 256) window
-    # load, then every (dy, dx) cost in parallel — tap (ty, tx) adds
-    # |W[dy+ty, dx+tx] - tpl[ty, tx]| over the whole (n_up, 128) block via
-    # a static slice of the resident window, and the keypoint's full cost
-    # block is stored once. (v1 looped (k, dy) pairs with a fresh dynamic
-    # load + dynamic-row store each — n x more loop iterations, all
-    # dynamic-roll-bound; measured 5.7 ms/pair at R=12, K=1024.)
-    def phase_b(k, _):
-        tpl = tpl_buf[k]  # (8, 128)
-        y = yi1_ref[b, k0 + k]
-        x = xi1_ref[b, k0 + k]
-        ybase = (y // 8) * 8
-        xbase = (x // 128) * 128
-        tile = v1[pl.ds(ybase, LR), pl.ds(xbase, 256)]
-        tile = pltpu.roll(tile, (LR - (y - ybase)) % LR, 0)
-        W = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
-        acc = jnp.zeros((n_up, 128), jnp.float32)
-        for ty in range(t):
-            for tx in range(t):
-                tval = jax.lax.broadcast_in_dim(
-                    jax.lax.slice(tpl, (ty, tx), (ty + 1, tx + 1)),
-                    (n_up, 128),
-                    (0, 1),
-                )
-                sub = jax.lax.slice(
-                    W, (ty, tx), (ty + n_up, tx + 128)
-                )
-                acc = acc + jnp.abs(sub - tval)
-        cost_ref[0, pl.ds(k, 1), :, :] = acc[None]
-        return 0
+        jax.lax.fori_loop(0, kb_eff, phase_a, 0)
 
-    jax.lax.fori_loop(0, Kb, phase_b, 0)
+        # phase B, one keypoint per iteration: ONE aligned (LR, 256)
+        # window load, then every (dy, dx) cost in parallel — tap
+        # (ty, tx) adds |W[dy+ty, dx+tx] - tpl[ty, tx]| over the whole
+        # (n_up, 128) block via a static slice of the resident window,
+        # and the keypoint's full cost block is stored once. (v1 looped
+        # (k, dy) pairs with a fresh dynamic load + dynamic-row store
+        # each — n x more loop iterations, all dynamic-roll-bound;
+        # measured 5.7 ms/pair at R=12, K=1024.)
+        def phase_b(k, _):
+            tpl = tpl_buf[k]  # (8, 128)
+            y = yi1_ref[b, k0 + k]
+            x = xi1_ref[b, k0 + k]
+            ybase = (y // 8) * 8
+            xbase = (x // 128) * 128
+            tile = v1[pl.ds(ybase, LR), pl.ds(xbase, 256)]
+            tile = pltpu.roll(tile, (LR - (y - ybase)) % LR, 0)
+            W = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
+            acc = jnp.zeros((n_up, 128), jnp.float32)
+            for ty in range(t):
+                for tx in range(t):
+                    tval = jax.lax.broadcast_in_dim(
+                        jax.lax.slice(tpl, (ty, tx), (ty + 1, tx + 1)),
+                        (n_up, 128),
+                        (0, 1),
+                    )
+                    sub = jax.lax.slice(
+                        W, (ty, tx), (ty + n_up, tx + 128)
+                    )
+                    acc = acc + jnp.abs(sub - tval)
+            cost_ref[0, pl.ds(k, 1), :, :] = acc[None]
+            return 0
+
+        jax.lax.fori_loop(0, kb_eff, phase_b, 0)
 
 
 def refine_cost_volume_pallas(
@@ -148,8 +162,14 @@ def refine_cost_volume_pallas(
     radius: int,
     interpret: bool = False,
     max_batch: int = 8,
+    nvalid: jax.Array | None = None,  # (B,) int32; rows >= nvalid -> 0
 ) -> jax.Array:
     """(B, K, n, n) SAD cost, n = 2*radius + 1 — refine.py semantics.
+
+    ``nvalid`` bounds the per-pair live keypoint count: callers that
+    compact valid keypoints to the front (refine.py) get cost rows
+    ``[nvalid:]`` as exact zeros at zero compute — chunk loops bound to
+    the live count, fully-dead chunks skip even the image DMA.
 
     Scalar-prefetch operands live in SMEM (1 MB total): 4 index arrays of
     (B, K) int32 hit the ceiling at B*K = 64k, so batches above
@@ -158,6 +178,8 @@ def refine_cost_volume_pallas(
     """
     B, H0, W0 = img0.shape
     H1, W1 = img1.shape[1:]  # frame 1 may be a downscaled copy
+    if nvalid is None:
+        nvalid = jnp.full((B,), xi0.shape[1], jnp.int32)
     if B > max_batch:
         Bp = _round_up(B, max_batch)
         pad = lambda a: jnp.pad(a, ((0, Bp - B),) + ((0, 0),) * (a.ndim - 1))
@@ -165,12 +187,12 @@ def refine_cost_volume_pallas(
             lambda a: pad(a).reshape(
                 (Bp // max_batch, max_batch) + a.shape[1:]
             ),
-            (img0, img1, xi0, yi0, xi1, yi1),
+            (img0, img1, xi0, yi0, xi1, yi1, nvalid),
         )
         out = jax.lax.map(
             lambda c: refine_cost_volume_pallas(
-                *c, template, radius, interpret=interpret,
-                max_batch=max_batch,
+                *c[:6], template, radius, interpret=interpret,
+                max_batch=max_batch, nvalid=c[6],
             ),
             chunked,
         )
@@ -207,7 +229,7 @@ def refine_cost_volume_pallas(
 
     kernel = functools.partial(_refine_kernel, Kb=Kb, t=t, R=R)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B, Kp // Kb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -236,6 +258,7 @@ def refine_cost_volume_pallas(
         yi0.astype(jnp.int32),
         xi1.astype(jnp.int32),
         yi1.astype(jnp.int32),
+        nvalid.astype(jnp.int32),
         p0,
         p1,
     )
@@ -244,18 +267,22 @@ def refine_cost_volume_pallas(
 
 def _make_single(t: int, R: int, interpret: bool):
     @jax.custom_batching.custom_vmap
-    def f(img0, img1, xi0, yi0, xi1, yi1):
+    def f(img0, img1, xi0, yi0, xi1, yi1, nvalid):
         return refine_cost_volume_pallas(
             img0[None], img1[None], xi0[None], yi0[None], xi1[None],
-            yi1[None], t, R, interpret=interpret,
+            yi1[None], t, R, interpret=interpret, nvalid=nvalid[None],
         )[0]
 
     @f.def_vmap
-    def f_vmap(axis_size, in_batched, img0, img1, xi0, yi0, xi1, yi1):
-        del axis_size
-        assert all(in_batched), "refine_cost_volume: vmap needs all batched"
+    def f_vmap(axis_size, in_batched, img0, img1, xi0, yi0, xi1, yi1, nv):
+        assert all(
+            in_batched[:6]
+        ), "refine_cost_volume: vmap needs all array args batched"
+        if not in_batched[6]:  # nvalid defaulted to the static K
+            nv = jnp.broadcast_to(nv, (axis_size,))
         out = refine_cost_volume_pallas(
-            img0, img1, xi0, yi0, xi1, yi1, t, R, interpret=interpret
+            img0, img1, xi0, yi0, xi1, yi1, t, R, interpret=interpret,
+            nvalid=nv,
         )
         return out, True
 
@@ -277,12 +304,16 @@ def refine_cost_volume(
     template: int,
     radius: int,
     interpret: bool = False,
+    nvalid: jax.Array | None = None,  # () int32 — live keypoint count
 ) -> jax.Array:
     """Single-frame (K, n, n) cost; vmap-compatible (a vmapped call routes
     to the kernel's native batch grid, as in stereo/pallas_sparse.py)."""
     f = _single_cached(int(template), int(radius), bool(interpret))
+    if nvalid is None:
+        nvalid = jnp.int32(xi0.shape[0])
     return f(
         img0, img1,
         xi0.astype(jnp.int32), yi0.astype(jnp.int32),
         xi1.astype(jnp.int32), yi1.astype(jnp.int32),
+        jnp.asarray(nvalid, jnp.int32),
     )

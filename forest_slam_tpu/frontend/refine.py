@@ -126,6 +126,7 @@ def _refine_single(
     xy1: jax.Array,  # (K, 2) estimates in FRAME-1 coords
     valid: jax.Array,
     cfg: RefineConfig,
+    nvalid: jax.Array | None = None,  # () live count (valid-compacted)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One fixed-scale search: ((K, 2) refined frame-1 coords, (K,) ok,
     (K,) best/second cost ratio — lower = more distinctive valley)."""
@@ -149,7 +150,7 @@ def _refine_single(
 
         cost = refine_cost_volume(
             img0, img1, xi0, yi0, xi1, yi1, t, R,
-            interpret=path == "pallas_interpret",
+            interpret=path == "pallas_interpret", nvalid=nvalid,
         )
     else:
         cost = _cost_volume_xla(img0, img1, xi0, yi0, xi1, yi1, t, R)
@@ -229,12 +230,25 @@ def refine_matches_quality(
     [0, 1] (0 for not-ok points): a deep, distinctive cost valley scores
     high, a near-ambiguous one near 0. Downstream RANSAC uses it to bias
     minimal-sample draws toward trustworthy correspondences.
+
+    Valid keypoints are compacted to the front before the search so the
+    Pallas kernel's per-chunk loops bound to the live count — refine cost
+    scales with the matched fraction, not the padded K (results are
+    un-permuted on return; per-keypoint outputs are identical).
     """
     H, W = img0.shape
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    inv = jnp.argsort(order, stable=True)
+    xy0 = xy0[order]
+    xy1 = xy1[order]
+    valid = valid[order]
+    nvalid = jnp.sum(valid).astype(jnp.int32)
     cands = []
     for s in cfg.scales:
         if s == 1.0:
-            cands.append(_refine_single(img0, img1, xy0, xy1, valid, cfg))
+            cands.append(
+                _refine_single(img0, img1, xy0, xy1, valid, cfg, nvalid)
+            )
             continue
         # UPSCALE frame 0 by s (rather than downscaling frame 1): the
         # template then matches frame 1's enlarged appearance while the
@@ -246,7 +260,7 @@ def refine_matches_quality(
         img0s = jax.image.resize(img0, (H0s, W0s), "linear")
         sc0 = jnp.array([W0s / W, H0s / H], jnp.float32)  # exact, ~s
         r, ok, ratio = _refine_single(
-            img0s, img1, xy0 * sc0, xy1, valid, cfg
+            img0s, img1, xy0 * sc0, xy1, valid, cfg, nvalid
         )
         cands.append((r, ok, ratio))
     if len(cands) == 1:
@@ -264,7 +278,7 @@ def refine_matches_quality(
         refined = take(refined)
     out = jnp.where(ok[:, None], refined, xy1)
     quality = jnp.where(ok, jnp.clip(1.0 - ratio, 0.0, 1.0), 0.0)
-    return out, ok, quality
+    return out[inv], ok[inv], quality[inv]
 
 
 def refine_matches(

@@ -218,3 +218,69 @@ def test_refine_matches_pallas_path_end_to_end():
     np.testing.assert_allclose(
         np.asarray(ref_p), np.asarray(ref_x), atol=1e-3
     )
+
+
+def test_pallas_cost_volume_nvalid_bounds_live_rows():
+    """With valid-compacted inputs, rows >= nvalid come back as exact
+    zeros and live rows equal the XLA path (interpret mode)."""
+    from forest_slam_tpu.frontend.pallas_refine import refine_cost_volume
+    from forest_slam_tpu.frontend.refine import _cost_volume_xla
+
+    key = jax.random.PRNGKey(4)
+    H, W = 96, 144
+    img0 = jax.random.uniform(key, (H, W)) * 255
+    img1 = jnp.roll(img0, 2, axis=1) + 1.0
+    K, t, R = 16, 8, 8
+    rng = np.random.default_rng(0)
+    xi0 = jnp.asarray(rng.integers(10, W - 10, (K,)), jnp.int32)
+    yi0 = jnp.asarray(rng.integers(10, H - 10, (K,)), jnp.int32)
+    xi1 = jnp.asarray(rng.integers(10, W - 10, (K,)), jnp.int32)
+    yi1 = jnp.asarray(rng.integers(10, H - 10, (K,)), jnp.int32)
+
+    nv = 11
+    cp = refine_cost_volume(
+        img0, img1, xi0, yi0, xi1, yi1, t, R, interpret=True,
+        nvalid=jnp.int32(nv),
+    )
+    cx = _cost_volume_xla(img0, img1, xi0, yi0, xi1, yi1, t, R)
+    np.testing.assert_allclose(np.asarray(cp[:nv]), np.asarray(cx[:nv]), rtol=1e-6)
+    assert float(jnp.max(jnp.abs(cp[nv:]))) == 0.0
+
+
+def test_refine_quality_compaction_invariance():
+    """refine_matches_quality with a scattered valid mask must equal the
+    all-valid run on the valid slots and pass through the rest — the
+    valid-compaction fast path cannot change per-keypoint results."""
+    from forest_slam_tpu.frontend.refine import refine_matches_quality
+
+    key = jax.random.PRNGKey(7)
+    H, W = 100, 140
+    img0 = jax.random.uniform(key, (H, W)) * 255
+    img1 = jnp.roll(jnp.roll(img0, 4, axis=1), -2, axis=0)
+    K = 32
+    xy0 = jnp.stack(
+        [
+            jax.random.uniform(jax.random.PRNGKey(1), (K,)) * 80 + 30,
+            jax.random.uniform(jax.random.PRNGKey(2), (K,)) * 40 + 30,
+        ],
+        axis=1,
+    ).round()
+    xy1 = xy0 + jnp.array([4.0, -2.0]) + jax.random.uniform(
+        jax.random.PRNGKey(3), (K, 2), minval=-5, maxval=5
+    )
+    mask = jnp.asarray(np.random.default_rng(1).random(K) < 0.5)
+    cfg = RefineConfig(radius=8)
+
+    out_all, ok_all, q_all = refine_matches_quality(
+        img0, img1, xy0, xy1, jnp.ones((K,), bool), cfg
+    )
+    out_m, ok_m, q_m = refine_matches_quality(img0, img1, xy0, xy1, mask, cfg)
+
+    m = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(out_m)[m], np.asarray(out_all)[m], atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(ok_m)[m], np.asarray(ok_all)[m])
+    np.testing.assert_allclose(np.asarray(q_m)[m], np.asarray(q_all)[m], atol=1e-6)
+    assert not np.asarray(ok_m)[~m].any()
+    np.testing.assert_allclose(np.asarray(out_m)[~m], np.asarray(xy1)[~m])
