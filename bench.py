@@ -72,6 +72,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. 'cpu' for a smoke run:"
+                    " this container's sitecustomize force-registers the"
+                    " axon TPU plugin, so the JAX_PLATFORMS env var alone"
+                    " does not keep bench off a dead tunnel)")
     # the flagship is the learned path (SP+SG is the reference's configured
     # front-end, stereo_slam.py:66-81); "auto" runs it whenever trained
     # weights exist and falls back to the classical ORB path otherwise.
@@ -95,6 +100,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # persistent compilation cache: a cold process pays ~7.5 min compiling
     # the renderer + pipeline; subsequent bench runs on this machine reuse
