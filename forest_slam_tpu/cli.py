@@ -378,6 +378,14 @@ def cmd_slam(args) -> int:
         from forest_slam_tpu.backend import WindowBAConfig
 
         ba = WindowBAConfig(window=args.ba_window, iters=args.ba_iters)
+    reloc = None
+    if args.relocalize:
+        from forest_slam_tpu.backend.relocalize import RelocalizeConfig
+
+        if args.compose_mode != "odometry":
+            print("--relocalize needs --compose-mode odometry", flush=True)
+            return 2
+        reloc = RelocalizeConfig()
     cfg = SlamConfig(
         stereo=stereo,
         loop=LoopClosureConfig(
@@ -386,15 +394,20 @@ def cmd_slam(args) -> int:
         ),
         keyframe_stride=args.keyframe_stride,
         ba=ba,
+        relocalize=reloc,
     )
     traj, outs = run_slam(
         il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend, fparams=fparams
     )
     write_tum(args.out, traj)
     ok = np.asarray(outs.vo.ok)
+    reloc_note = (
+        f", relocalized {int(outs.n_relocalized)}" if args.relocalize else ""
+    )
     print(
         f"slam: {len(traj)} poses -> {args.out} "
-        f"(tracked {int(ok.sum())}/{ok.size}, loops {int(outs.n_loops)})"
+        f"(tracked {int(ok.sum())}/{ok.size}, loops {int(outs.n_loops)}"
+        f"{reloc_note})"
     )
     if args.viewer_out:
         from forest_slam_tpu.eval.viewer import write_viewer_html
@@ -548,6 +561,10 @@ def main(argv=None) -> int:
     p.add_argument("--keyframe-stride", type=int, default=5)
     p.add_argument("--loop-candidates", type=int, default=8)
     p.add_argument("--loop-separation", type=int, default=20)
+    p.add_argument("--relocalize", action="store_true",
+                   help="repair tracking losses by absolute relocalization "
+                        "against earlier frames (backend/relocalize.py; "
+                        "needs --compose-mode odometry)")
     p.set_defaults(fn=cmd_slam)
 
     p = sub.add_parser("gt-traj", help="ground-truth trajectory from a bag")

@@ -34,6 +34,10 @@ from forest_slam_tpu.backend.pose_graph import (
     odometry_edges,
     optimize_pose_graph,
 )
+from forest_slam_tpu.backend.relocalize import (
+    RelocalizeConfig,
+    relocalize_trajectory,
+)
 from forest_slam_tpu.backend.window import WindowBAConfig, refine_trajectory_ba
 from forest_slam_tpu.core.camera import StereoRig
 from forest_slam_tpu.core.lie import se3_inverse
@@ -55,6 +59,9 @@ class SlamConfig(NamedTuple):
     pose_graph_iters: int = 10
     loop_edge_weight: float = 3.0  # relative to odometry edges
     ba: WindowBAConfig | None = None  # optional window-BA pre-refinement
+    # repair tracking losses by absolute re-localization against earlier
+    # frames (backend/relocalize.py); needs compose_mode="odometry"
+    relocalize: RelocalizeConfig | None = None
 
 
 class SlamOutputs(NamedTuple):
@@ -63,6 +70,7 @@ class SlamOutputs(NamedTuple):
     n_loops: jax.Array  # () accepted loop-closure edges
     loop_pairs: jax.Array  # (C, 2) keyframe-index candidates
     loop_accepted: jax.Array  # (C,)
+    n_relocalized: int = 0  # tracking losses repaired (cfg.relocalize)
 
 
 def run_stereo_slam(
@@ -79,18 +87,27 @@ def run_stereo_slam(
         frontend = orb_frontend(cfg.stereo.orb, cfg.stereo.max_match_distance)
     images_l = jnp.asarray(images_l, jnp.float32)
     images_r = jnp.asarray(images_r, jnp.float32)
-    key, vo_key, loop_key = jax.random.split(key, 3)
+    key, vo_key, loop_key, reloc_key = jax.random.split(key, 4)
+    image_shape = tuple(images_l.shape[1:])
 
     outs, art = run_stereo_vo_batched(
         images_l, images_r, rig, cfg.stereo, vo_key, frontend, fparams,
         return_artifacts=True,
     )
     poses = outs.pose
+    n_relocalized = 0
+    if cfg.relocalize is not None:
+        poses_np, reloc_ev = relocalize_trajectory(
+            poses, outs.ok, art, rig.left, reloc_key, frontend, fparams,
+            image_shape, cfg.relocalize,
+        )
+        poses = jnp.asarray(poses_np, poses.dtype)
+        n_relocalized = reloc_ev.n_repaired
     if cfg.ba is not None:
         poses = refine_trajectory_ba(
             poses, art, rig.left, cfg.ba,
             frontend=frontend, fparams=fparams,
-            image_shape=tuple(images_l.shape[1:]),
+            image_shape=image_shape,
         )
 
     N = art.valid.shape[0]
@@ -105,7 +122,6 @@ def run_stereo_slam(
     # --- loop closure ----------------------------------------------------
     sigs = jax.vmap(descriptor_signature)(kf_feats.desc, kf_feats.valid)
     pairs, _, proposal = detect_loop_candidates(sigs, cfg.loop)
-    image_shape = tuple(images_l.shape[1:])
     Z_loop, n_inl, accepted = verify_loops(
         pairs, proposal, kf_feats, art.z[kf], art.z_ok[kf], rig.left,
         loop_key, frontend, fparams, image_shape, cfg.loop,
@@ -136,6 +152,7 @@ def run_stereo_slam(
         n_loops=jnp.sum(accepted),
         loop_pairs=pairs,
         loop_accepted=accepted,
+        n_relocalized=n_relocalized,
     )
 
 

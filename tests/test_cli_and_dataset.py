@@ -171,3 +171,28 @@ def test_cli_refine_radius_auto_default():
 
     _resolve_refine_radius(C)
     assert C.match_refine_radius == 7
+
+
+@pytest.mark.slow
+def test_cli_slam_synthetic_relocalize(tmp_path):
+    """The slam subcommand end-to-end (VO + loop closure + pose graph with
+    the relocalization option wired through)."""
+    out = str(tmp_path / "slam.txt")
+    rc = cli_main([
+        "slam", "--synthetic", "12", "--out", out,
+        "--compose-mode", "odometry", "--relocalize",
+        "--keyframe-stride", "3", "--loop-separation", "4",
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
+    from forest_slam_tpu.io.tum import read_tum
+
+    assert len(read_tum(out)) == 11
+
+
+def test_cli_slam_relocalize_needs_odometry(tmp_path):
+    rc = cli_main([
+        "slam", "--synthetic", "6", "--out", str(tmp_path / "x.txt"),
+        "--relocalize",
+    ])
+    assert rc == 2
