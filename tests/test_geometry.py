@@ -271,3 +271,25 @@ def test_pnp_too_few_points_flagged(rng):
     valid = jnp.zeros((N,), bool).at[:4].set(True)  # below min_inliers
     res = solve_pnp_ransac(pts3d, obs, valid, cam, jax.random.PRNGKey(4))
     assert not bool(res.ok)
+
+
+def test_nullspace_methods_agree():
+    """The unrolled batched-Cholesky inverse iteration and the LAPACK-style
+    cho_factor path find the same nullspace direction."""
+    import numpy as np
+
+    from forest_slam_tpu.geometry.pnp import nullspace_inverse_iteration
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(64, 12, 12)), jnp.float32)
+    vu = nullspace_inverse_iteration(A, 12, method="unrolled")
+    vc = nullspace_inverse_iteration(A, 12, method="cho")
+    # direction match up to sign
+    dots = np.abs(np.sum(np.asarray(vu) * np.asarray(vc), axis=-1))
+    assert dots.min() > 1.0 - 1e-4
+    # both are near-null directions of A
+    res = np.linalg.norm(
+        np.einsum("bij,bj->bi", np.asarray(A), np.asarray(vu)), axis=-1
+    )
+    sv_min = np.linalg.svd(np.asarray(A), compute_uv=False)[:, -1]
+    assert np.all(res < sv_min + 1e-3)
