@@ -14,7 +14,7 @@ test-fast:
 	$(PY) -m pytest tests/ -q -m "not slow"
 
 bench:
-	$(PY) bench.py --accuracy
+	$(PY) bench.py
 
 bench-quick:
 	$(PY) bench.py --quick

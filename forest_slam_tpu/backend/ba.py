@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from forest_slam_tpu.core.camera import PinholeCamera, project_points
-from forest_slam_tpu.core.lie import se3_exp
+from forest_slam_tpu.core.lie import se3_compose, se3_exp, se3_inverse, se3_log
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -47,6 +47,18 @@ class BAProblem(NamedTuple):
     depths: jax.Array | None = None  # (M, P) measured z or None
     depth_mask: jax.Array | None = None  # (M, P) bool
     depth_weight: float = 25.0  # relative-depth -> pixel-equivalent scale
+    # Prior pulling each pose toward its initial (VO) value: residual
+    # ``pose_prior_weight * se3_log(T_cur @ inv(T_init))`` per pose. At the
+    # clean-data noise floor the reprojection evidence cannot justify
+    # moving a pose, so the prior pins the solution at VO (no-regret
+    # refinement); under degraded VO the large reprojection residuals
+    # dominate and BA still corrects. 0.0 = classical unregularized BA.
+    pose_prior_weight: float = 0.0
+    # Huber threshold (px) on the pixel-residual norm: observations beyond
+    # it get IRLS weight huber_px/||r_px||, so mutual-NN mismatches that
+    # survived the window's reprojection gate can't drag poses
+    # quadratically. 0.0 = pure squared loss.
+    huber_px: float = 0.0
 
 
 class BAResult(NamedTuple):
@@ -59,24 +71,40 @@ class BAResult(NamedTuple):
 def _residual_one(xi, dX, T, X, obs, z_meas, has_z, w_z, cam):
     """(3,) residual [du, dv, w_z*(z - z_meas)/z_meas] for pose update xi
     (6,) and point update dX (3,); the depth row is zeroed when has_z=0."""
-    Tp = se3_exp(xi) @ T
+    Tp = se3_compose(se3_exp(xi), T)
     Xp = X + dX
-    pc = Tp[:3, :3] @ Xp + Tp[:3, 3]
+    pc = jnp.einsum("ij,j->i", Tp[:3, :3], Xp, precision=_HI) + Tp[:3, 3]
     r_px = project_points(pc, cam, with_distortion=True) - obs  # (2,)
     r_z = w_z * (pc[2] - z_meas) / jnp.maximum(z_meas, 1e-6) * has_z
     return jnp.concatenate([r_px, r_z[None]])
 
 
-def _cost(poses, points, obs, mask, z, z_mask, w_z, cam) -> jax.Array:
+def _huber_weight(r_norm, delta):
+    """IRLS weight for the Huber loss: 1 inside delta, delta/||r|| outside.
+    delta <= 0 disables (pure squared loss)."""
+    w = jnp.minimum(1.0, delta / jnp.maximum(r_norm, 1e-9))
+    return jnp.where(delta > 0, w, 1.0)
+
+
+def _cost(
+    poses, points, obs, mask, z, z_mask, w_z, cam, d_prior, w_p, delta
+) -> jax.Array:
     pc = (
         jnp.einsum("mij,pj->mpi", poses[:, :3, :3], points, precision=_HI)
         + poses[:, None, :3, 3]
     )
     proj = project_points(pc, cam, with_distortion=True)
     r = proj - obs
-    c = jnp.sum(jnp.where(mask[..., None], r * r, 0.0))
+    rn2 = jnp.sum(r * r, axis=-1)
+    rn = jnp.sqrt(jnp.maximum(rn2, 1e-18))
+    rho = jnp.where(
+        (delta > 0) & (rn > delta), delta * (2.0 * rn - delta), rn2
+    )
+    c = jnp.sum(jnp.where(mask, rho, 0.0))
     rz = w_z * (pc[..., 2] - z) / jnp.maximum(z, 1e-6)
-    return c + jnp.sum(jnp.where(z_mask, rz * rz, 0.0))
+    c = c + jnp.sum(jnp.where(z_mask, rz * rz, 0.0))
+    # pose prior: d_prior (M, 6) = se3_log(T_cur @ inv(T_init))
+    return c + w_p * w_p * jnp.sum(d_prior * d_prior)
 
 
 def _gauge_weights(M: int, fix_first: bool, dtype) -> jax.Array:
@@ -110,6 +138,10 @@ def ba_solve(
     zf = z_mask.astype(poses0.dtype)
     maskf = mask.astype(poses0.dtype)
     gauge = _gauge_weights(M, fix_first, poses0.dtype)
+    w_p = jnp.asarray(problem.pose_prior_weight, poses0.dtype)
+    delta = jnp.asarray(problem.huber_px, poses0.dtype)
+    inv_poses0 = jax.vmap(se3_inverse)(poses0)
+    deviation = jax.vmap(lambda T, Ti: se3_log(se3_compose(T, Ti)))  # (M, 6) vs init
 
     zeros6 = jnp.zeros((6,), poses0.dtype)
     zeros3 = jnp.zeros((3,), poses0.dtype)
@@ -135,7 +167,11 @@ def ba_solve(
     def lm_step(state, _):
         poses, points, lam, cost = state
         r, Jp, Jx = blocks(poses, points)
-        w = maskf[..., None]
+        # IRLS Huber weight from the current pixel-residual norm, applied
+        # to all three residual rows of the observation (a wrong match
+        # corrupts its depth row too)
+        rn = jnp.linalg.norm(r[..., :2], axis=-1)
+        w = (maskf * jnp.sqrt(_huber_weight(rn, delta)))[..., None]
         rw = r * w
         Jp = Jp * w[..., None]
         Jx = Jx * w[..., None]
@@ -146,6 +182,12 @@ def ba_solve(
         Hpl = jnp.einsum("mpki,mpkj->mpij", Jp, Jx, precision=_HI)  # (M,P,6,3)
         bp = -jnp.einsum("mpki,mpk->mi", Jp, rw, precision=_HI)  # (M,6)
         bl = -jnp.einsum("mpki,mpk->pi", Jx, rw, precision=_HI)  # (P,3)
+
+        # pose prior: r_m(xi) = w_p * (d_m + xi) to first order, so the
+        # prior adds w_p^2 I to each pose block and -w_p^2 d_m to bp
+        d = deviation(poses, inv_poses0)  # (M, 6)
+        Hpp = Hpp + (w_p * w_p) * jnp.eye(6, dtype=poses.dtype)
+        bp = bp - (w_p * w_p) * d
 
         eye6 = jnp.eye(6, dtype=poses.dtype)
         eye3 = jnp.eye(3, dtype=poses.dtype)
@@ -171,9 +213,13 @@ def ba_solve(
             precision=_HI,
         )
 
-        poses_new = jax.vmap(lambda x, T: se3_exp(x) @ T)(dxi, poses)
+        poses_new = jax.vmap(lambda x, T: se3_compose(se3_exp(x), T))(dxi, poses)
         points_new = points + dX
-        cost_new = _cost(poses_new, points_new, obs, mask, z, z_mask, w_z, cam)
+        d_new = deviation(poses_new, inv_poses0)
+        cost_new = _cost(
+            poses_new, points_new, obs, mask, z, z_mask, w_z, cam,
+            d_new, w_p, delta,
+        )
         finite = jnp.isfinite(cost_new)
         accept = (cost_new < cost) & finite
         return (
@@ -183,7 +229,10 @@ def ba_solve(
             jnp.where(accept, cost_new, cost),
         ), cost
 
-    cost0 = _cost(poses0, points0, obs, mask, z, z_mask, w_z, cam)
+    cost0 = _cost(
+        poses0, points0, obs, mask, z, z_mask, w_z, cam,
+        jnp.zeros((M, 6), poses0.dtype), w_p, delta,
+    )
     init = (poses0, points0, jnp.asarray(init_lambda, poses0.dtype), cost0)
     (poses, points, _, cost), _ = jax.lax.scan(lm_step, init, None, length=iters)
     return BAResult(

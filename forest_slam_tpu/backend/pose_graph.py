@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from forest_slam_tpu.core.lie import se3_exp, se3_inverse, se3_log
+from forest_slam_tpu.core.lie import se3_compose, se3_exp, se3_inverse, se3_log
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -46,14 +46,14 @@ class PoseGraphResult(NamedTuple):
 
 def _edge_error(xi_i, xi_j, Ti, Tj, Zinv):
     """(6,) residual of one edge under left-multiplied updates."""
-    Tip = se3_exp(xi_i) @ Ti
-    Tjp = se3_exp(xi_j) @ Tj
-    return se3_log(Zinv @ se3_inverse(Tip) @ Tjp)
+    Tip = se3_compose(se3_exp(xi_i), Ti)
+    Tjp = se3_compose(se3_exp(xi_j), Tj)
+    return se3_log(se3_compose(se3_compose(Zinv, se3_inverse(Tip)), Tjp))
 
 
 def _cost(poses, ei, ej, Zinv, w):
     def one(i, j, Zi):
-        return se3_log(Zi @ se3_inverse(poses[i]) @ poses[j])
+        return se3_log(se3_compose(se3_compose(Zi, se3_inverse(poses[i])), poses[j]))
 
     r = jax.vmap(one)(ei, ej, Zinv)  # (E, 6)
     return jnp.sum(w[:, None] * r * r)
@@ -113,7 +113,7 @@ def optimize_pose_graph(
             dx = jnp.linalg.solve(Hf, bf)
         dx = dx.reshape(N, 6)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-        return jax.vmap(lambda x, T: se3_exp(x) @ T)(dx, poses), None
+        return jax.vmap(lambda x, T: se3_compose(se3_exp(x), T))(dx, poses), None
 
     cost0 = _cost(poses0, ei, ej, Zinv, w)
     poses, _ = jax.lax.scan(gn_step, poses0, None, length=iters)
@@ -129,5 +129,5 @@ def odometry_edges(poses: jax.Array, weight: float = 1.0):
     N = poses.shape[0]
     ei = jnp.arange(N - 1, dtype=jnp.int32)
     ej = ei + 1
-    Z = jax.vmap(lambda a, b: se3_inverse(a) @ b)(poses[:-1], poses[1:])
+    Z = jax.vmap(lambda a, b: se3_compose(se3_inverse(a), b))(poses[:-1], poses[1:])
     return ei, ej, Z, jnp.full((N - 1,), weight, jnp.float32)

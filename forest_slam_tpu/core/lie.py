@@ -140,6 +140,38 @@ def se3_matrix(R: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def so3_orthonormalize(R: jax.Array) -> jax.Array:
+    """Project (..., 3, 3) onto SO(3) by Gram-Schmidt on the rows.
+
+    Needed because TPU f32 matmuls at DEFAULT precision run as bfloat16
+    passes: a chain of ``se3_exp(dx) @ T`` style products (PnP refinement,
+    BA updates) accumulates per-entry errors of ~1e-3 per product, and a
+    measured VO relative pose came out with det(R) = 0.9883 — a 1.2%
+    uniform scale contraction that silently breaks every transpose-inverse
+    downstream (backend/window.py round-trips poses through se3_inverse and
+    was dragged ~0.5 m on a clean run by exactly this). All pose-path
+    matmuls now use Precision.HIGHEST, and robust-solver outputs are
+    re-projected with this helper as a backstop.
+
+    Gram-Schmidt (not polar/SVD) because it is closed-form, exactly
+    orthonormal at f32 resolution, and keeps the row directions of the
+    dominant axes — for near-rigid inputs the difference from the polar
+    factor is O(err^2).
+    """
+    r0 = R[..., 0, :]
+    r0 = r0 / jnp.linalg.norm(r0, axis=-1, keepdims=True)
+    r1 = R[..., 1, :]
+    r1 = r1 - jnp.sum(r1 * r0, axis=-1, keepdims=True) * r0
+    r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+    r2 = jnp.cross(r0, r1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def se3_orthonormalize(T: jax.Array) -> jax.Array:
+    """Re-rigidify (..., 4, 4): project R onto SO(3), keep t, clean row 3."""
+    return se3_matrix(so3_orthonormalize(T[..., :3, :3]), T[..., :3, 3])
+
+
 def se3_inverse(T: jax.Array) -> jax.Array:
     """Inverse of (..., 4, 4) rigid transform(s) without a linear solve."""
     R = T[..., :3, :3]
@@ -162,7 +194,7 @@ def se3_chain(relative: jax.Array, initial: jax.Array | None = None) -> jax.Arra
     parallelizes on TPU (log-depth instead of a serial Python loop).
     """
     if initial is not None:
-        relative = relative.at[0].set(initial @ relative[0])
+        relative = relative.at[0].set(se3_compose(initial, relative[0]))
     return jax.lax.associative_scan(se3_compose, relative, axis=0)
 
 

@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from forest_slam_tpu.core.lie import so3_exp
+from forest_slam_tpu.core.lie import so3_exp, so3_orthonormalize
 from forest_slam_tpu.geometry.ransac import ransac_sample_indices
 
 _HI = jax.lax.Precision.HIGHEST
@@ -53,7 +53,8 @@ def _essential_from_nullspace(A: jax.Array) -> jax.Array:
     E = vt[-1].reshape(3, 3)
     U, S, Vt = jnp.linalg.svd(E)
     s = (S[0] + S[1]) * 0.5
-    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0]) * s) @ Vt
+    D = jnp.diag(jnp.array([1.0, 1.0, 0.0]) * s)
+    return jnp.matmul(jnp.matmul(U, D, precision=_HI), Vt, precision=_HI)
 
 
 def essential_from_pose(R: jax.Array, t: jax.Array) -> jax.Array:
@@ -65,7 +66,7 @@ def essential_from_pose(R: jax.Array, t: jax.Array) -> jax.Array:
             [-t[1], t[0], 0.0],
         ]
     )
-    return tx @ R
+    return jnp.matmul(tx, R, precision=_HI)
 
 
 def sampson_error(E: jax.Array, x0: jax.Array, x1: jax.Array) -> jax.Array:
@@ -164,8 +165,9 @@ def recover_pose(
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
-    Ra = U @ W @ Vt
-    Rb = U @ W.T @ Vt
+    mm = lambda a, b: jnp.matmul(a, b, precision=_HI)
+    Ra = so3_orthonormalize(mm(mm(U, W), Vt))
+    Rb = so3_orthonormalize(mm(mm(U, W.T), Vt))
     t = U[:, 2]
     candidates = [(Ra, t), (Ra, -t), (Rb, t), (Rb, -t)]
 
@@ -225,17 +227,17 @@ def refine_pose_sampson(
         w = ((e * e < gate2) & valid).astype(x0.dtype)
 
         def res(xi):
-            Rp = so3_exp(xi[:3]) @ R
+            Rp = jnp.matmul(so3_exp(xi[:3]), R, precision=_HI)
             tp = t + xi[3:]
             tp = tp / jnp.maximum(jnp.linalg.norm(tp), 1e-12)
             return _signed_sampson(Rp, tp, x0h, x1h) * w
 
         J = jax.jacfwd(res)(jnp.zeros((6,), x0.dtype))
         r = res(jnp.zeros((6,), x0.dtype))
-        H = J.T @ J + damping * jnp.eye(6, dtype=x0.dtype)
-        dx = -jnp.linalg.solve(H, J.T @ r)
+        H = jnp.matmul(J.T, J, precision=_HI) + damping * jnp.eye(6, dtype=x0.dtype)
+        dx = -jnp.linalg.solve(H, jnp.einsum("ni,n->i", J, r, precision=_HI))
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-        Rn = so3_exp(dx[:3]) @ R
+        Rn = so3_orthonormalize(jnp.matmul(so3_exp(dx[:3]), R, precision=_HI))
         tn = t + dx[3:]
         tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
         return (Rn, tn), None

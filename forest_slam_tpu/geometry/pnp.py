@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from forest_slam_tpu.core.camera import PinholeCamera, project_points, undistort_points
-from forest_slam_tpu.core.lie import se3_exp, se3_matrix
+from forest_slam_tpu.core.lie import (
+    se3_compose,
+    se3_exp,
+    se3_matrix,
+    so3_orthonormalize,
+)
 from forest_slam_tpu.geometry.ransac import ransac_sample_indices
 
 _HI = jax.lax.Precision.HIGHEST
@@ -157,7 +162,7 @@ def orthogonalize_pose(P: jax.Array, pts3d: jax.Array, valid: jax.Array) -> jax.
     """Raw DLT (3, 4) -> rigid [R|t] with majority-positive depths."""
     M = P[:, :3]
     U, S, Vt = jnp.linalg.svd(M)
-    R = U @ Vt
+    R = jnp.matmul(U, Vt, precision=_HI)
     detR = jnp.linalg.det(R)
     R = R * detR
     s = jnp.mean(S) * detR
@@ -173,7 +178,7 @@ def orthogonalize_pose(P: jax.Array, pts3d: jax.Array, valid: jax.Array) -> jax.
     # U's last column sign choice is messy — just recompute from -P.
     M2 = -M
     U2, S2, Vt2 = jnp.linalg.svd(M2)
-    R2 = U2 @ Vt2
+    R2 = jnp.matmul(U2, Vt2, precision=_HI)
     det2 = jnp.linalg.det(R2)
     R2 = R2 * det2
     s2 = jnp.mean(S2) * det2
@@ -348,11 +353,12 @@ def _p3p_grunert(pts3d: jax.Array, f: jax.Array) -> jax.Array:
         Yc = Ycam - Ycam.mean(0)
         Hm = jnp.einsum("ni,nj->ij", Xc, Yc, precision=_HI)
         U, _, Vt = jnp.linalg.svd(Hm)
-        d = jnp.linalg.det(Vt.T @ U.T)
-        R = (Vt.T * jnp.array([1.0, 1.0, 0.0])) @ U.T + d * (
-            Vt.T * jnp.array([0.0, 0.0, 1.0])
-        ) @ U.T
-        t = Ycam.mean(0) - R @ pts3d.mean(0)
+        mm = lambda a, b: jnp.matmul(a, b, precision=_HI)
+        d = jnp.linalg.det(mm(Vt.T, U.T))
+        R = mm(Vt.T * jnp.array([1.0, 1.0, 0.0]), U.T) + d * mm(
+            Vt.T * jnp.array([0.0, 0.0, 1.0]), U.T
+        )
+        t = Ycam.mean(0) - jnp.einsum("ij,j->i", R, pts3d.mean(0), precision=_HI)
         return jnp.concatenate([R, t[:, None]], axis=1)
 
     Ps = jax.vmap(kabsch)(Y)  # (4, 3, 4)
@@ -413,18 +419,18 @@ def _gauss_newton_refine(
         w = ((err < gate) & valid).astype(pts3d.dtype)
 
         def residual(xi):
-            Tp = se3_exp(xi) @ T
+            Tp = se3_compose(se3_exp(xi), T)
             return ((reproject(Tp) - pts2d) * w[:, None]).reshape(-1)
 
         zero = jnp.zeros((6,), T.dtype)
         J = jax.jacfwd(residual)(zero)  # (2N, 6)
         r = residual(zero)
-        H = J.T @ J + damping * jnp.eye(6, dtype=T.dtype)
-        g = J.T @ r
+        H = jnp.matmul(J.T, J, precision=_HI) + damping * jnp.eye(6, dtype=T.dtype)
+        g = jnp.einsum("ni,n->i", J, r, precision=_HI)
         dx = -jnp.linalg.solve(H, g)
         # reject steps that are not finite (degenerate inlier sets)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros_like(dx))
-        return se3_exp(dx) @ T, None
+        return se3_compose(se3_exp(dx), T), None
 
     T, _ = jax.lax.scan(step, T0, jnp.arange(iters))
     return T
@@ -524,6 +530,13 @@ def solve_pnp_ransac(
     )
     b = jnp.argmax(score)
     P_fin = P_cands[b]
+    # backstop re-rigidification: TPU default-precision matmul chains can
+    # de-orthonormalize R by ~1% (measured det 0.9883 on a VO frame before
+    # the pose path moved to Precision.HIGHEST); downstream transpose-
+    # inverses assume exact SO(3)
+    P_fin = jnp.concatenate(
+        [so3_orthonormalize(P_fin[:, :3]), P_fin[:, 3:4]], axis=1
+    )
     inl_fin = inl_c[b]
     n = cnt_c[b]
     return PnPResult(

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from forest_slam_tpu.core.camera import PinholeCamera
-from forest_slam_tpu.core.lie import se3_matrix, se3_inverse
+from forest_slam_tpu.core.lie import se3_compose, se3_matrix, se3_inverse
 from forest_slam_tpu.frontend import OrbConfig
 from forest_slam_tpu.frontend.base import FrontendFns, orb_frontend
 from forest_slam_tpu.geometry import estimate_relative_pose
@@ -95,7 +95,7 @@ def mono_step(
     if cfg.compose_mode == "odometry":
         rel = se3_inverse(rel)
     rel = jnp.where(ok, rel, jnp.eye(4))
-    cumulative = state.cumulative @ rel
+    cumulative = se3_compose(state.cumulative, rel)
     new_state = MonoState(prev=feats, cumulative=cumulative, key=key)
     return new_state, MonoStepOut(
         pose=cumulative,

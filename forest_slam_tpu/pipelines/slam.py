@@ -40,7 +40,7 @@ from forest_slam_tpu.backend.relocalize import (
 )
 from forest_slam_tpu.backend.window import WindowBAConfig, refine_trajectory_ba
 from forest_slam_tpu.core.camera import StereoRig
-from forest_slam_tpu.core.lie import se3_inverse
+from forest_slam_tpu.core.lie import se3_compose, se3_inverse
 from forest_slam_tpu.frontend.base import FrontendFns, orb_frontend
 from forest_slam_tpu.io.tum import Trajectory
 from forest_slam_tpu.pipelines.stereo import (
@@ -141,7 +141,7 @@ def run_stereo_slam(
 
     # --- propagate corrections to non-keyframe poses ----------------------
     anchor = jnp.arange(N) // cfg.keyframe_stride  # keyframe id per frame
-    delta = jax.vmap(lambda a, b: a @ se3_inverse(b))(res.poses, kf_T)
+    delta = jax.vmap(lambda a, b: se3_compose(a, se3_inverse(b)))(res.poses, kf_T)
     T_corr = jnp.einsum(
         "nij,njk->nik", delta[anchor], T_wc, precision=_HI
     )

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from forest_slam_tpu.core.camera import StereoRig
-from forest_slam_tpu.core.lie import se3_matrix, se3_inverse, se3_chain
+from forest_slam_tpu.core.lie import se3_compose, se3_matrix, se3_inverse, se3_chain
 from forest_slam_tpu.frontend import OrbConfig
 from forest_slam_tpu.frontend.base import FrontendFns, orb_frontend
 from forest_slam_tpu.geometry import solve_pnp_ransac
@@ -257,7 +257,7 @@ def stereo_step(
     )
     ok = pair.ok
     valid = pair.valid
-    cumulative = state.cumulative @ pair.rel
+    cumulative = se3_compose(state.cumulative, pair.rel)
 
     # world-frame map points (stereo_slam.py:309-314): transform the
     # previous-frame 3D points by the updated cumulative pose

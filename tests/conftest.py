@@ -45,3 +45,19 @@ def reference_results_dir():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Drop jit-cache references at module teardown.
+
+    The full suite compiles hundreds of XLA:CPU executables in one
+    process; with all of them pinned alive, the run deterministically
+    segfaults inside ``backend_compile_and_load`` around test ~136
+    (LLVM JIT code-memory exhaustion — the same test passes in
+    isolation). Releasing executables between modules keeps the JIT
+    footprint bounded; cross-module recompiles are rare because jitted
+    functions are module-local.
+    """
+    yield
+    jax.clear_caches()

@@ -97,3 +97,50 @@ def test_ba_handles_unobserved_landmarks(rng):
     res = ba_solve(problem, iters=8)
     assert np.isfinite(float(res.final_cost))
     assert float(res.final_cost) < float(res.initial_cost)
+
+
+def test_ba_pose_prior_pins_to_init(rng):
+    """A dominant VO prior makes BA a no-regret no-op (poses stay put)."""
+    problem, _, _ = make_problem(rng)
+    res = ba_solve(problem._replace(pose_prior_weight=1e6), iters=8)
+    np.testing.assert_allclose(
+        np.asarray(res.poses), np.asarray(problem.poses), atol=1e-3
+    )
+
+
+def test_ba_moderate_prior_still_corrects(rng):
+    """With a moderate prior, strong reprojection evidence from a
+    perturbed init must still win over the pull toward it."""
+    problem, poses_gt, _ = make_problem(rng)
+    res = ba_solve(problem._replace(pose_prior_weight=10.0), iters=24)
+    _, tr0 = pose_errors(problem.poses, poses_gt)
+    _, tr1 = pose_errors(res.poses, poses_gt)
+    # the prior biases the fixpoint toward the init (that is its job), but
+    # strong reprojection evidence must still roughly halve the error
+    assert tr1[1:].mean() < tr0[1:].mean() * 0.55
+
+
+def test_ba_huber_resists_outlier_observations(rng):
+    """Corrupt a slice of observations; Huber must keep pose recovery
+    intact where the squared loss degrades."""
+    # near-converged init (like VO handing a good trajectory to window BA):
+    # inlier residuals sit at the noise floor so the Huber threshold can
+    # separate them from the outliers
+    problem, poses_gt, _ = make_problem(
+        rng, pix_noise=0.1, pose_pert=0.002, point_pert=0.05
+    )
+    obs = np.asarray(problem.observations).copy()
+    mask = np.asarray(problem.mask)
+    # 10% wrong-match style outliers: shift by 8-20 px (inside any broad
+    # gate, big enough to drag a squared loss)
+    out = rng.random(mask.shape) < 0.10
+    obs = obs + np.where(
+        (out & mask)[..., None], rng.uniform(8, 20, obs.shape), 0.0
+    )
+    corrupted = problem._replace(observations=jnp.asarray(obs, jnp.float32))
+    res_sq = ba_solve(corrupted, iters=12)
+    res_hb = ba_solve(corrupted._replace(huber_px=1.0), iters=12)
+    _, tr_sq = pose_errors(res_sq.poses, poses_gt)
+    _, tr_hb = pose_errors(res_hb.poses, poses_gt)
+    assert tr_hb[1:].mean() < tr_sq[1:].mean()
+    assert tr_hb[1:].max() < 0.05

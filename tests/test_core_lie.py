@@ -141,3 +141,25 @@ def test_jit_and_vmap():
     w = jnp.array([[0.1, 0.2, 0.3]] * 4)
     out = jax.jit(jax.vmap(lie.so3_exp))(w)
     assert out.shape == (4, 3, 3)
+
+
+def test_so3_orthonormalize_fixes_scaled_rotation(rng):
+    from scipy.spatial.transform import Rotation
+    from forest_slam_tpu.core import se3_orthonormalize, so3_orthonormalize
+
+    R = Rotation.random(8, random_state=3).as_matrix()
+    # the measured TPU failure mode: uniform ~1% contraction + small skew
+    bad = R * 0.988 + rng.normal(size=R.shape) * 1e-3
+    fixed = np.asarray(so3_orthonormalize(jnp.asarray(bad, jnp.float32)))
+    eye = np.einsum("nij,nkj->nik", fixed, fixed)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (8, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(fixed), 1.0, atol=1e-5)
+    # stays close to the underlying rotation
+    assert np.abs(fixed - R).max() < 5e-3
+
+    T = np.tile(np.eye(4), (8, 1, 1))
+    T[:, :3, :3] = bad
+    T[:, :3, 3] = rng.normal(size=(8, 3))
+    Tf = np.asarray(se3_orthonormalize(jnp.asarray(T, jnp.float32)))
+    np.testing.assert_allclose(Tf[:, :3, 3], T[:, :3, 3], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.det(Tf[:, :3, :3]), 1.0, atol=1e-5)
