@@ -304,12 +304,79 @@ def main() -> None:
         except Exception:
             log("# accuracy pass failed:\n" + traceback.format_exc())
 
+    # ---- resolution-robustness gate (learned path, full mode only) -------
+    # VERDICT r1 weak #1: the checkpoint is trained near 960x600; this gate
+    # re-runs tracking at 224x160 with auto-upscaled extraction octaves
+    # (the eval_multires rule: add 1.7x octaves until H*s ~ training rows)
+    # so a resolution-brittle checkpoint shows up IN the artifact instead
+    # of only in BASELINE.md prose.
+    lowres_ok = lowres_n = lowres_ate = None
+    if args.frontend == "sp" and not args.quick and not args.no_accuracy:
+        try:
+            from forest_slam_tpu.eval import ape_translation
+            from forest_slam_tpu.io.tum import Trajectory
+            from forest_slam_tpu.frontend.weights import load_learned_frontend
+
+            gH, gW, gN = 160, 224, 24
+            rig_g = default_rig(gH, gW, baseline=0.25)
+            Ts_g = corridor_trajectory(gN, speed=0.15)
+            parts = []
+            for s in range(0, gN, rc):
+                chunk = jnp.asarray(Ts_g[s : s + rc])
+                if chunk.shape[0] < rc:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.tile(chunk[-1:], (rc - chunk.shape[0], 1, 1))]
+                    )
+                parts.append(
+                    render_chunk(world, chunk, rig_g.left.K, T_lr, gH, gW)
+                )
+            gl = jnp.concatenate([p[0] for p in parts])[:gN]
+            gr = jnp.concatenate([p[1] for p in parts])[:gN]
+            scales, sc = [1.0], 1.0
+            while gH * sc < 420:
+                sc *= 1.7
+                scales.append(round(min(sc, 600.0 / gH), 3))
+            fe_g, fp_g = load_learned_frontend(
+                (gH, gW), path=args.weights, max_keypoints=512,
+                scales=tuple(scales),
+                superglue_overrides={"softmax_dtype": args.sg_softmax},
+            )
+            cfg_g = cfg._replace(
+                sgm=SgmConfig(num_disparities=48),
+                n_hypotheses=512,
+                match_refine_radius=12,
+            )
+            outs_g = run_stereo_vo_batched(
+                gl, gr, rig_g, cfg_g, key, learned_frontend(fe_g), fp_g,
+                frame_chunk=gN, pair_chunk=gN,
+            )
+            lowres_ok = int(np.asarray(outs_g.ok).sum())
+            lowres_n = gN - 1
+            ts_g = np.arange(gN) * 0.1
+            st_g = ape_translation(
+                Trajectory.from_matrices(
+                    ts_g[1:], np.asarray(outs_g.pose, np.float64)
+                ),
+                Trajectory.from_matrices(ts_g, np.asarray(Ts_g, np.float64)),
+                align=True, with_scale=False,
+            )
+            lowres_ate = round(float(st_g.rmse), 4)
+            log(
+                f"# lowres gate 224x160: {lowres_ok}/{lowres_n} tracked, "
+                f"ATE {lowres_ate} m, octaves {scales}"
+            )
+        except Exception:
+            log("# lowres gate failed:\n" + traceback.format_exc())
+
     emit(
         pairs_per_sec,
         frontend=frontend.name,
         ok_frames=ok_frames,
         n_frames=n_frames - 1,
         ate_rmse=ate_rmse,
+        lowres_ok_frames=lowres_ok,
+        lowres_n_frames=lowres_n,
+        lowres_ate_rmse=lowres_ate,
         runs_s=[round(t, 3) for t in times],
     )
 

@@ -136,9 +136,12 @@ def _refine_kernel(
             acc = jnp.zeros((n_up, 128), jnp.float32)
             for ty in range(t):
                 for tx in range(t):
-                    tval = jax.lax.broadcast_in_dim(
+                    # scalar extract + splat: a one-shot (1,1)->(n_up,128)
+                    # broadcast_in_dim spans sublanes AND lanes, which
+                    # newer Mosaic rejects ("Broadcast in both sublanes
+                    # and lanes"); the scalar form lowers to a splat
+                    tval = jax.lax.squeeze(
                         jax.lax.slice(tpl, (ty, tx), (ty + 1, tx + 1)),
-                        (n_up, 128),
                         (0, 1),
                     )
                     sub = jax.lax.slice(
