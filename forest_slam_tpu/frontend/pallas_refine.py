@@ -251,11 +251,25 @@ def refine_cost_volume_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # Scoped-VMEM budget: both padded frames + tpl scratch + the
+    # double-buffered (1, Kb, n_up, 128) out block + the zero-store temp.
+    # At 960x600 / R=24 that is ~16.3 MB — just past the compiler's 16 MB
+    # default (v5e has 128 MB physical VMEM), so size the limit from the
+    # actual buffers with headroom for spills instead of relying on the
+    # default.
+    n_bytes = 4 * (
+        Hp0 * Wp0
+        + Hp1 * Wp1
+        + Kb * 8 * 128
+        + 3 * Kb * n_up * 128  # out block x2 (pipelining) + zeros temp
+    )
+    vmem_limit = min(100 * 1024 * 1024, n_bytes + 4 * 1024 * 1024)
     cost = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Kp, n_up, 128), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
     )(
         xi0.astype(jnp.int32),
         yi0.astype(jnp.int32),

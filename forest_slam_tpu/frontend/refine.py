@@ -58,19 +58,20 @@ def _resolve_cost_path(
         return cfg.cost_path
     on_tpu = jax.default_backend() == "tpu"
     # VMEM budget: the kernel holds both padded frames + a (K, n8, 128)
-    # f32 cost block in ~16 MB scoped VMEM. Measured: 960x600 frames fit
-    # at R=24 (16.14 MB incl. spills at R=32 -> OOM by 144 KB); a 1.44x
-    # upscaled frame 0 (896x1664 padded) overflows at R=24 by 640 KB. So
-    # gate on radius AND total padded frame bytes (<= ~8.5 MB).
+    # f32 cost block in scoped VMEM. pallas_refine.py now sizes the
+    # compiler's vmem_limit from its own buffers (the 16 MB default OOM'd
+    # by 340 KB at 960x600 / R=24 once the live-count zero-store landed),
+    # so the gate only needs to keep the total within a conservative
+    # fraction of physical VMEM (128 MB on v5e): padded frames <= 48 MB
+    # covers 960x600 and its 1.7x-upscaled scale-search copies.
     frames_ok = True
     if img_shapes is not None:
         (h0, w0), (h1, w1) = img_shapes
         padded = (h0 + 40) * (w0 + 400) + (h1 + 104) * (w1 + 440)
-        frames_ok = padded * 4 <= 8_500_000
+        frames_ok = padded * 4 <= 48_000_000
     fits = (
         cfg.template <= 8
         and 2 * cfg.radius + cfg.template <= 128
-        and cfg.radius <= 24
         and frames_ok
     )
     return "pallas" if (on_tpu and fits) else "xla"

@@ -1,0 +1,80 @@
+"""Resolution-robustness gate for the committed learned-frontend weights.
+
+VERDICT r1 weak #1: the round-1 checkpoint tracked 7/23 frames at 224x160
+while tracking 191/191 at the 960x600 training resolution — nothing in the
+suite gated that. This test locks the mitigation (auto-upscaled extraction
+octaves, eval_multires rule: add 1.7x octaves until H*s ~ 600 training rows)
+at the small end on the synthetic corridor. The full-resolution end is gated
+on hardware by bench.py's always-on accuracy pass plus its own 224x160
+low-res check (both land in the driver's BENCH artifact).
+
+Runs on CPU with the committed weights, a short 160x224 clip, and the same
+stereo VO runner the harnesses use.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from forest_slam_tpu.frontend.weights import DEFAULT_PATH
+
+N_FRAMES = 8
+H, W = 160, 224
+
+
+@pytest.mark.slow
+def test_committed_weights_track_at_low_resolution():
+    if not os.path.exists(DEFAULT_PATH):
+        pytest.skip("no committed learned-frontend weights")
+
+    from forest_slam_tpu.frontend.base import learned_frontend
+    from forest_slam_tpu.frontend.weights import load_learned_frontend
+    from forest_slam_tpu.frontend import OrbConfig
+    from forest_slam_tpu.io.synthetic import render_sequence
+    from forest_slam_tpu.pipelines.stereo import (
+        StereoConfig,
+        run_stereo_vo_batched,
+    )
+    from forest_slam_tpu.stereo import SgmConfig
+
+    seq = render_sequence(N_FRAMES, height=H, width=W, speed=0.15)
+
+    # eval_multires auto-octave rule for small inputs
+    scales, s = [1.0], 1.0
+    while H * s < 420:
+        s *= 1.7
+        scales.append(round(min(s, 600.0 / H), 3))
+
+    fe, fparams = load_learned_frontend(
+        (H, W), DEFAULT_PATH, max_keypoints=512, scales=tuple(scales)
+    )
+    cfg = StereoConfig(
+        orb=OrbConfig(n_features=256, n_levels=4),
+        sgm=SgmConfig(num_disparities=48),
+        n_hypotheses=512,
+        compose_mode="odometry",
+        match_refine_radius=12,
+    )
+    outs = run_stereo_vo_batched(
+        seq.images_left,
+        seq.images_right,
+        seq.rig,
+        cfg,
+        jax.random.PRNGKey(0),
+        learned_frontend(fe),
+        fparams,
+        frame_chunk=N_FRAMES,
+        pair_chunk=N_FRAMES,
+    )
+    n_ok = int(np.asarray(outs.ok).sum())
+    n = N_FRAMES - 1
+    # >90% tracked at the resolution that broke the round-1 checkpoint
+    assert n_ok >= int(np.ceil(0.9 * n)), f"tracked {n_ok}/{n} at {W}x{H}"
+
+    # and the estimated motion is sane: compare against GT translation
+    gt = np.asarray(seq.T_world_cam, np.float64)
+    est = np.asarray(outs.pose, np.float64)
+    err = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+    assert err < 0.10, f"endpoint error {err:.3f} m over {n} frames"
