@@ -93,6 +93,8 @@ def main() -> None:
     # (0.155 vs 0.167 m); training keeps the f32 config default
     ap.add_argument("--sg-softmax", choices=["float32", "bfloat16"],
                     default="bfloat16")
+    ap.add_argument("--refine-cost-path", choices=["auto", "xla", "pallas"],
+                    default="auto")
     ap.add_argument("--refine-radius", type=int, default=-1,
                     help="post-match SAD refinement radius px; -1 = auto "
                     "(on for the learned path — its detections need the "
@@ -230,6 +232,7 @@ def main() -> None:
         n_hypotheses=512 if args.quick else 1024,
         compose_mode="odometry",
         match_refine_radius=args.refine_radius,
+        match_refine_cost_path=args.refine_cost_path,
     )
 
     key = jax.random.PRNGKey(0)

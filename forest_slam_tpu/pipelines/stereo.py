@@ -91,6 +91,11 @@ class StereoConfig(NamedTuple):
     # tracking needs e.g. (1.0, 1.2, 1.44) to absorb forward-motion
     # apparent-scale growth.
     match_refine_scales: tuple = (1.0,)
+    # Cost-volume path for the refiner (RefineConfig.cost_path): "auto"
+    # resolves per backend/shape; "xla"/"pallas" force one. The pallas
+    # kernel's cost is ~flat in radius (it always fills 128 search lanes),
+    # so at small radii the quadratic-in-R xla path can win.
+    match_refine_cost_path: str = "auto"
     # Bias PnP-RANSAC minimal-sample draws by the refiner's SAD-valley
     # distinctness (refine_matches_quality -> ransac_sample_indices
     # weights). Only affects which hypotheses get TRIED, never the
@@ -193,6 +198,7 @@ def _match_and_pnp(
             RefineConfig(
                 radius=cfg.match_refine_radius,
                 scales=tuple(cfg.match_refine_scales),
+                cost_path=cfg.match_refine_cost_path,
             ),
         )
         if cfg.match_refine_filter:
