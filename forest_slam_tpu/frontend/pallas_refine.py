@@ -133,20 +133,40 @@ def _refine_kernel(
             tile = v1[pl.ds(ybase, LR), pl.ds(xbase, 256)]
             tile = pltpu.roll(tile, (LR - (y - ybase)) % LR, 0)
             W = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
+
+            # Per-keypoint splat table: splat[ty*t + tx, lane] ==
+            # tpl[ty, tx] for every lane, built with vector ops only —
+            # sublane broadcast + one-hot lane mask + log-rotate lane
+            # reduction (adds zeros to the single nonzero, so it is
+            # EXACT in f32). The previous form extracted each tap value
+            # with a vector->scalar read + splat, and those t*t scalar
+            # round-trips dominated the whole kernel: measured 7.1
+            # ms/pair at t=8/R=12/K=1024 vs 1.1 ms/pair at t=4 (16
+            # taps) — the taps themselves are ~20 ns, the extracts
+            # ~100 ns each.
+            spread = jnp.concatenate(
+                [
+                    jnp.broadcast_to(tpl[ty : ty + 1, :], (t, 128))
+                    for ty in range(t)
+                ],
+                axis=0,
+            )  # (t*t, 128): row ty*t + tx holds template row ty
+            lane = jax.lax.broadcasted_iota(jnp.int32, (t * t, 128), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (t * t, 128), 0)
+            splat = jnp.where(lane == row % t, spread, 0.0)
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                splat = splat + pltpu.roll(splat, s, 1)
+
             acc = jnp.zeros((n_up, 128), jnp.float32)
-            for ty in range(t):
-                for tx in range(t):
-                    # scalar extract + splat: a one-shot (1,1)->(n_up,128)
-                    # broadcast_in_dim spans sublanes AND lanes, which
-                    # newer Mosaic rejects ("Broadcast in both sublanes
-                    # and lanes"); the scalar form lowers to a splat
-                    tval = jax.lax.squeeze(
-                        jax.lax.slice(tpl, (ty, tx), (ty + 1, tx + 1)),
-                        (0, 1),
-                    )
-                    sub = jax.lax.slice(
-                        W, (ty, tx), (ty + n_up, tx + 128)
-                    )
+            for tx in range(t):
+                # hoist the (unaligned) lane offset: one lane-rotate per
+                # template column instead of one per tap
+                Wx = jax.lax.slice(W, (0, tx), (t - 1 + n_up, tx + 128))
+                for ty in range(t):
+                    sub = jax.lax.slice(Wx, (ty, 0), (ty + n_up, 128))
+                    tval = jax.lax.slice(
+                        splat, (ty * t + tx, 0), (ty * t + tx + 1, 128)
+                    )  # (1, 128) -> sublane-only broadcast in the sub
                     acc = acc + jnp.abs(sub - tval)
             cost_ref[0, pl.ds(k, 1), :, :] = acc[None]
             return 0
