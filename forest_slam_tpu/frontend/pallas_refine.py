@@ -116,62 +116,87 @@ def _refine_kernel(
 
         jax.lax.fori_loop(0, kb_eff, phase_a, 0)
 
-        # phase B, one keypoint per iteration: ONE aligned (LR, 256)
-        # window load, then every (dy, dx) cost in parallel — tap
-        # (ty, tx) adds |W[dy+ty, dx+tx] - tpl[ty, tx]| over the whole
-        # (n_up, 128) block via a static slice of the resident window,
-        # and the keypoint's full cost block is stored once. (v1 looped
-        # (k, dy) pairs with a fresh dynamic load + dynamic-row store
-        # each — n x more loop iterations, all dynamic-roll-bound;
-        # measured 5.7 ms/pair at R=12, K=1024.)
-        def phase_b(k, _):
-            tpl = tpl_buf[k]  # (8, 128)
-            y = yi1_ref[b, k0 + k]
-            x = xi1_ref[b, k0 + k]
-            ybase = (y // 8) * 8
-            xbase = (x // 128) * 128
-            tile = v1[pl.ds(ybase, LR), pl.ds(xbase, 256)]
-            tile = pltpu.roll(tile, (LR - (y - ybase)) % LR, 0)
-            W = pltpu.roll(tile, (256 - (x - xbase)) % 256, 1)
+        # phase B, G lane-packed keypoints per iteration: each keypoint's
+        # search window is only S = n + t - 1 lanes wide, so G = 128 //
+        # Wg windows (Wg = smallest divisor of 128 >= S) ride the
+        # 128-lane tap arithmetic together. Per member: ONE aligned
+        # (LR, 256) window load whose lane roll lands window col 0 at
+        # lane Wg*j. Tap (ty, tx) then adds |P[dy+ty, dx+tx] -
+        # tpl_j[ty, tx]| for all G members at once — the global lane
+        # shift by tx stays inside each segment because tx <= t - 1 =
+        # Wg - n. Template values come from a packed splat table built
+        # with vector ops only — sublane broadcast + one-hot lane mask +
+        # log-rotate lane reduction (adds zeros to the single nonzero,
+        # so it is EXACT in f32), then segment-masked into the shared
+        # table. (History: a per-tap vector->scalar extract + splat
+        # measured 7.1 ms/pair at t=8/R=12/K=1024 — the extracts were
+        # ~100 ns each, the taps ~20 ns; the unpacked vector-splat form
+        # measured 3.7; packing amortizes the taps G-fold.)
+        Wg = next(d for d in (8, 16, 32, 64, 128) if d >= n + t - 1)
+        G = 128 // Wg
+        LRt = t - 1 + n_up  # rows the taps actually touch
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (LRt, 128), 1)
+        lane64 = jax.lax.broadcasted_iota(jnp.int32, (t * t, 128), 1)
+        row64 = jax.lax.broadcasted_iota(jnp.int32, (t * t, 128), 0)
 
-            # Per-keypoint splat table: splat[ty*t + tx, lane] ==
-            # tpl[ty, tx] for every lane, built with vector ops only —
-            # sublane broadcast + one-hot lane mask + log-rotate lane
-            # reduction (adds zeros to the single nonzero, so it is
-            # EXACT in f32). The previous form extracted each tap value
-            # with a vector->scalar read + splat, and those t*t scalar
-            # round-trips dominated the whole kernel: measured 7.1
-            # ms/pair at t=8/R=12/K=1024 vs 1.1 ms/pair at t=4 (16
-            # taps) — the taps themselves are ~20 ns, the extracts
-            # ~100 ns each.
-            spread = jnp.concatenate(
-                [
-                    jnp.broadcast_to(tpl[ty : ty + 1, :], (t, 128))
-                    for ty in range(t)
-                ],
-                axis=0,
-            )  # (t*t, 128): row ty*t + tx holds template row ty
-            lane = jax.lax.broadcasted_iota(jnp.int32, (t * t, 128), 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (t * t, 128), 0)
-            splat = jnp.where(lane == row % t, spread, 0.0)
-            for s in (1, 2, 4, 8, 16, 32, 64):
-                splat = splat + pltpu.roll(splat, s, 1)
+        def phase_b(g, _):
+            kbase = g * G
+            P = jnp.zeros((LRt, 128), jnp.float32)
+            SP = jnp.zeros((t * t, 128), jnp.float32)
+            for j in range(G):
+                k = kbase + j
+                y = yi1_ref[b, k0 + k]
+                x = xi1_ref[b, k0 + k]
+                ybase = (y // 8) * 8
+                xbase = (x // 128) * 128
+                tile = v1[pl.ds(ybase, LR), pl.ds(xbase, 256)]
+                tile = pltpu.roll(tile, (LR - (y - ybase)) % LR, 0)
+                tile = jax.lax.slice(tile, (0, 0), (LRt, 256))
+                W = pltpu.roll(
+                    tile, (256 - (x - xbase) + Wg * j) % 256, 1
+                )[:, :128]
+                seg = (lane_t >= Wg * j) & (lane_t < Wg * (j + 1))
+                P = P + jnp.where(seg, W, 0.0)
+
+                tpl = tpl_buf[k]  # (8, 128), template in lanes [0, t)
+                spread = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(tpl[ty : ty + 1, :], (t, 128))
+                        for ty in range(t)
+                    ],
+                    axis=0,
+                )  # (t*t, 128): row ty*t + tx holds template row ty
+                splat = jnp.where(lane64 == row64 % t, spread, 0.0)
+                for s in (1, 2, 4, 8, 16, 32, 64):
+                    splat = splat + pltpu.roll(splat, s, 1)
+                seg64 = (lane64 >= Wg * j) & (lane64 < Wg * (j + 1))
+                SP = SP + jnp.where(seg64, splat, 0.0)
 
             acc = jnp.zeros((n_up, 128), jnp.float32)
             for tx in range(t):
                 # hoist the (unaligned) lane offset: one lane-rotate per
                 # template column instead of one per tap
-                Wx = jax.lax.slice(W, (0, tx), (t - 1 + n_up, tx + 128))
+                Ptx = pltpu.roll(P, (128 - tx) % 128, 1)
                 for ty in range(t):
-                    sub = jax.lax.slice(Wx, (ty, 0), (ty + n_up, 128))
+                    sub = jax.lax.slice(Ptx, (ty, 0), (ty + n_up, 128))
                     tval = jax.lax.slice(
-                        splat, (ty * t + tx, 0), (ty * t + tx + 1, 128)
+                        SP, (ty * t + tx, 0), (ty * t + tx + 1, 128)
                     )  # (1, 128) -> sublane-only broadcast in the sub
                     acc = acc + jnp.abs(sub - tval)
-            cost_ref[0, pl.ds(k, 1), :, :] = acc[None]
+
+            for j in range(G):
+                # dead tail members (index arrays are zero-padded, so
+                # their loads are in range) must not clobber the
+                # zero-initialized rows past kb_eff
+                @pl.when(kbase + j < kb_eff)
+                def _store(j=j):
+                    out = pltpu.roll(acc, (128 - Wg * j) % 128, 1)
+                    cost_ref[0, pl.ds(kbase + j, 1), :, :] = out[None]
+
             return 0
 
-        jax.lax.fori_loop(0, kb_eff, phase_b, 0)
+        n_groups = (kb_eff + G - 1) // G
+        jax.lax.fori_loop(0, n_groups, phase_b, 0)
 
 
 def refine_cost_volume_pallas(
