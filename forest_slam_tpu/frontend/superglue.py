@@ -31,6 +31,18 @@ import flax.linen as nn
 NEG = -1e9
 
 
+def _sinkhorn_pallas_ok(cfg, K0: int, K1: int) -> bool:
+    """Fused Sinkhorn decode applies (see SuperGlueConfig.sinkhorn_impl)."""
+    impl = cfg.sinkhorn_impl
+    if impl in ("pallas", "pallas_interpret"):
+        return True
+    if impl != "auto":
+        return False
+    return (
+        jax.default_backend() == "tpu" and K0 % 128 == 0 and K1 % 128 == 0
+    )
+
+
 def _flash_ok(cfg, K: int, S: int, dh: int) -> bool:
     """Fused attention applies: explicitly requested + TPU + aligned shapes."""
     if cfg.attention_impl != "flash":
@@ -65,6 +77,13 @@ class SuperGlueConfig(NamedTuple):
     # tracking and ATE 0.155 vs 0.167 m — bench.py defaults to bfloat16
     # for inference; training keeps f32).
     softmax_dtype: str = "float32"
+    # Sinkhorn + decode implementation. "xla": log-domain logsumexp loop
+    # over the HBM-resident (B, K+1, K+1) table (always used for
+    # return_couplings, i.e. training). "pallas": fused VMEM-resident
+    # exp-domain kernel (pallas_sinkhorn.py) that never materializes the
+    # couplings in HBM. "auto" (default): pallas on TPU when K % 128 == 0.
+    # "pallas_interpret" runs the kernel interpreted (tests).
+    sinkhorn_impl: str = "auto"
 
 
 class MatchResult(NamedTuple):
@@ -255,6 +274,16 @@ class SuperGlue(nn.Module):
         scores = jnp.einsum("bkd,bsd->bks", f0, f1) / cfg.descriptor_dim ** 0.25
 
         alpha = self.param("bin_score", nn.initializers.ones, ())
+        if not return_couplings and _sinkhorn_pallas_ok(
+            cfg, scores.shape[1], scores.shape[2]
+        ):
+            from forest_slam_tpu.frontend.pallas_sinkhorn import match_decode
+
+            return match_decode(
+                scores, valid0, valid1, alpha,
+                cfg.sinkhorn_iterations, cfg.match_threshold,
+                interpret=cfg.sinkhorn_impl == "pallas_interpret",
+            )
         log_p = log_sinkhorn(
             scores, valid0, valid1, alpha, cfg.sinkhorn_iterations
         )
