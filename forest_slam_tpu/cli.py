@@ -544,6 +544,33 @@ def cmd_train_frontend(args) -> int:
     return 0
 
 
+def cmd_distill_frontend(args) -> int:
+    from forest_slam_tpu.train.distill import (
+        DistillConfig,
+        distill,
+        load_teacher,
+        save_distilled,
+    )
+    from forest_slam_tpu.frontend.weights import DEFAULT_PATH
+
+    cfg = DistillConfig(
+        teacher_path=args.teacher or DEFAULT_PATH,
+        stem_stride=args.stem_stride,
+        height=args.height, width=args.width, batch_size=args.batch,
+        learning_rate=args.lr,
+        pool_frames=args.pool_frames,
+        pool_height=args.pool_height, pool_width=args.pool_width,
+    )
+    state, history, payload = distill(
+        cfg, args.steps, seed=args.seed, log_every=args.log_every,
+        verbose=True,
+    )
+    _, _, _, teacher_meta = load_teacher(cfg)
+    save_distilled(payload, cfg, args.out, teacher_meta)
+    print(f"saved distilled weights -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="forest-slam")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -630,6 +657,29 @@ def main(argv=None) -> int:
     p.add_argument("--corridor-pool", type=int, default=4096,
                    help="pre-rendered corridor-pair pool size")
     p.set_defaults(fn=cmd_train_frontend)
+
+    p = sub.add_parser(
+        "distill-frontend",
+        help="distill the trained stride-1 SuperPoint into a faster stem "
+             "(keeps the teacher's SuperGlue; see train/distill.py)",
+    )
+    p.add_argument("--teacher", default=None,
+                   help="teacher checkpoint (default: flagship weights)")
+    p.add_argument("--out", required=True, help="output .msgpack")
+    p.add_argument("--steps", type=int, default=12000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=200)
+    p.add_argument("--stem-stride", type=int, default=2, choices=(2, 4, 8))
+    p.add_argument("--pool-frames", type=int, default=256,
+                   help="rendered corridor/forest frames in the crop pool")
+    p.add_argument("--pool-height", type=int, default=600,
+                   help="pool render rows (the teacher's native scale)")
+    p.add_argument("--pool-width", type=int, default=960)
+    p.set_defaults(fn=cmd_distill_frontend)
 
     args = ap.parse_args(argv)
     return args.fn(args)
