@@ -22,7 +22,8 @@ vs_baseline = pairs_per_sec / 10.0, so >10 means the north star is met.
 Flags: --quick (small frames, few pairs — smoke test), --frontend
 orb|sp|auto (auto — the default — runs sp when trained weights exist,
 else orb), --weights PATH (learned checkpoint; defaults to the flagship
-weights/learned_frontend.msgpack), --frames N, --no-accuracy (skip the
+weights/learned_frontend_stem2_distilled.msgpack, falling back to the
+stride-1 training checkpoint), --frames N, --no-accuracy (skip the
 synthetic-GT ATE pass, which is otherwise always run), --profile DIR
 (jax.profiler trace of the timed run).
 
@@ -50,7 +51,13 @@ import traceback
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-WEIGHTS_PATH = os.path.join(REPO, "weights", "learned_frontend.msgpack")
+_DISTILLED = os.path.join(
+    REPO, "weights", "learned_frontend_stem2_distilled.msgpack"
+)
+_STEM1 = os.path.join(REPO, "weights", "learned_frontend.msgpack")
+# flagship = the distilled stem-2 checkpoint (137.2 pairs/s, ATE 0.0604 m;
+# BASELINE.md round-2 table), stride-1 teacher as fallback.
+WEIGHTS_PATH = _DISTILLED if os.path.exists(_DISTILLED) else _STEM1
 
 
 def log(msg: str) -> None:

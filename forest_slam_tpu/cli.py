@@ -111,13 +111,18 @@ def _build_frontend(args, cfg_orb, image_shape):
     if args.frontend == "orb":
         return orb_frontend(cfg_orb), None
     from forest_slam_tpu.frontend.weights import (
-        DEFAULT_PATH,
+        flagship_path,
         load_learned_frontend,
+        wide_baseline_path,
     )
 
+    # Default weights: the distilled flagship, EXCEPT under --wide-baseline
+    # where the stem-2 checkpoint's scale-robust descriptors are required
+    # (frontend/weights.py WIDE_BASELINE_PATH rationale).
     wide = getattr(args, "wide_baseline", False)
+    path = args.weights or (wide_baseline_path() if wide else flagship_path())
     fe, params = load_learned_frontend(
-        image_shape, args.weights or DEFAULT_PATH,
+        image_shape, path,
         scales=(1.0, 0.707, 0.5) if wide else (1.0,),
     )
     return learned_frontend(fe), params

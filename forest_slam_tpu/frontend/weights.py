@@ -16,11 +16,45 @@ import sys
 import jax
 from flax import serialization
 
-DEFAULT_PATH = os.path.join(
+_WEIGHTS_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "weights",
-    "learned_frontend.msgpack",
 )
+
+# The stride-1 training/teacher checkpoint: where train-frontend saves by
+# default and what distill-frontend distills from.
+DEFAULT_PATH = os.path.join(_WEIGHTS_DIR, "learned_frontend.msgpack")
+
+# The flagship inference checkpoint: the stride-1 run distilled into the
+# 2.4x-faster space-to-depth stem (train/distill.py). Benched at 137.2
+# pairs/s, ATE 0.0604 m at 960x600 K=1 (BASELINE.md round-2 table).
+FLAGSHIP_PATH = os.path.join(
+    _WEIGHTS_DIR, "learned_frontend_stem2_distilled.msgpack"
+)
+
+# The wide-baseline (K>=20) checkpoint: the directly-trained stem-2 run
+# whose descriptor space survives the ~1.6x forward-motion scale gap
+# (K=20 7/7 / 0.030 m with the --wide-baseline stack; the distilled
+# checkpoint's stem-1 descriptor space does not — gap-20 assignments land
+# at 197 px median residual, scripts/diag_wide_baseline.py).
+WIDE_BASELINE_PATH = os.path.join(
+    _WEIGHTS_DIR, "learned_frontend_stem2.msgpack"
+)
+
+
+def flagship_path() -> str:
+    """Default checkpoint for *loading* (CLI/bench): the distilled stem-2
+    flagship when committed, else the stride-1 training checkpoint."""
+    return FLAGSHIP_PATH if os.path.exists(FLAGSHIP_PATH) else DEFAULT_PATH
+
+
+def wide_baseline_path() -> str:
+    """Default checkpoint for the --wide-baseline preset."""
+    return (
+        WIDE_BASELINE_PATH
+        if os.path.exists(WIDE_BASELINE_PATH)
+        else flagship_path()
+    )
 
 
 def save_params(params, path: str = DEFAULT_PATH, meta: dict | None = None) -> None:

@@ -18,7 +18,7 @@ import numpy as np
 import pytest
 import jax
 
-from forest_slam_tpu.frontend.weights import DEFAULT_PATH
+from forest_slam_tpu.frontend.weights import flagship_path
 
 N_FRAMES = 8
 H, W = 160, 224
@@ -26,7 +26,7 @@ H, W = 160, 224
 
 @pytest.mark.slow
 def test_committed_weights_track_at_low_resolution():
-    if not os.path.exists(DEFAULT_PATH):
+    if not os.path.exists(flagship_path()):
         pytest.skip("no committed learned-frontend weights")
 
     from forest_slam_tpu.frontend.base import learned_frontend
@@ -48,7 +48,7 @@ def test_committed_weights_track_at_low_resolution():
         scales.append(round(min(s, 600.0 / H), 3))
 
     fe, fparams = load_learned_frontend(
-        (H, W), DEFAULT_PATH, max_keypoints=512, scales=tuple(scales)
+        (H, W), flagship_path(), max_keypoints=512, scales=tuple(scales)
     )
     cfg = StereoConfig(
         orb=OrbConfig(n_features=256, n_levels=4),
