@@ -100,6 +100,10 @@ def main() -> None:
     # (0.155 vs 0.167 m); training keeps the f32 config default
     ap.add_argument("--sg-softmax", choices=["float32", "bfloat16"],
                     default="bfloat16")
+    ap.add_argument("--hypotheses", type=int, default=None,
+                    help="PnP-RANSAC hypothesis batch (default 1024, the "
+                         "reference's iterationsCount=1000 static batch; "
+                         "512 under --quick)")
     ap.add_argument("--refine-cost-path", choices=["auto", "xla", "pallas"],
                     default="auto")
     ap.add_argument("--refine-radius", type=int, default=-1,
@@ -236,7 +240,7 @@ def main() -> None:
             n_features=min(512, n_kpts), n_levels=4 if args.quick else 8
         ),
         sgm=SgmConfig(num_disparities=n_disp),
-        n_hypotheses=512 if args.quick else 1024,
+        n_hypotheses=args.hypotheses or (512 if args.quick else 1024),
         compose_mode="odometry",
         match_refine_radius=args.refine_radius,
         match_refine_cost_path=args.refine_cost_path,

@@ -669,7 +669,9 @@ def main(argv=None) -> int:
              "(keeps the teacher's SuperGlue; see train/distill.py)",
     )
     p.add_argument("--teacher", default=None,
-                   help="teacher checkpoint (default: flagship weights)")
+                   help="teacher checkpoint (default: the stride-1 "
+                        "training checkpoint, weights/learned_frontend"
+                        ".msgpack)")
     p.add_argument("--out", required=True, help="output .msgpack")
     p.add_argument("--steps", type=int, default=12000)
     p.add_argument("--batch", type=int, default=8)

@@ -47,6 +47,19 @@ class SuperPointConfig(NamedTuple):
     # total downsample stays 8 and the detector/descriptor contracts are
     # unchanged. Checkpoints are tied to this value.
     stem_stride: int = 1
+    # Keypoint selection: "approx" uses lax.approx_max_k over the
+    # per-block maxima (TPU-native partial-reduce PartialReduce op;
+    # recall 0.99 of the weakest-scoring slots is harmless for matching
+    # — measured 0.68 -> ~0.2 ms at 960x600). "exact" is full top_k.
+    topk_method: str = "approx"
+    # Descriptor bilinear sampling reads the coarse grid in this dtype
+    # (bandwidth: 4 gathers x K x 256; bf16 halves it). Accumulation and
+    # the final L2 normalization stay float32.
+    desc_sample_dtype: type = jnp.bfloat16
+    # NMS + block pooling backend: "auto" fuses them into one VMEM pass
+    # (frontend/pallas_select.py) on TPU and keeps the XLA reduce_window
+    # path elsewhere; "xla" / "pallas" / "pallas_interpret" force a path.
+    nms_backend: str = "auto"
 
 
 class SuperPointFeatures(NamedTuple):
@@ -127,11 +140,15 @@ class SuperPointNet(nn.Module):
 
 
 def _sample_coarse_descriptors(
-    coarse: jax.Array, xy: jax.Array, cell: int = 8
+    coarse: jax.Array, xy: jax.Array, cell: int = 8, sample_dtype=None
 ) -> jax.Array:
     """Bilinear-sample (Hc, Wc, D) coarse descriptors at pixel coords
-    (K, 2); returns L2-normalized (K, D)."""
+    (K, 2); returns L2-normalized float32 (K, D). ``sample_dtype``
+    controls the gather read dtype (bf16 halves the 4xKxD bandwidth);
+    interpolation weights and normalization run float32."""
     Hc, Wc, D = coarse.shape
+    if sample_dtype is not None:
+        coarse = coarse.astype(sample_dtype)
     # pixel -> coarse grid coords (cell centres at cell/2 - 0.5 offsets)
     u = (xy[:, 0] + 0.5) / cell - 0.5
     v = (xy[:, 1] + 0.5) / cell - 0.5
@@ -144,10 +161,10 @@ def _sample_coarse_descriptors(
     u1 = jnp.clip(u0 + 1, 0, Wc - 1)
     v1 = jnp.clip(v0 + 1, 0, Hc - 1)
     d = (
-        coarse[v0, u0] * (1 - fu) * (1 - fv)
-        + coarse[v0, u1] * fu * (1 - fv)
-        + coarse[v1, u0] * (1 - fu) * fv
-        + coarse[v1, u1] * fu * fv
+        coarse[v0, u0].astype(jnp.float32) * (1 - fu) * (1 - fv)
+        + coarse[v0, u1].astype(jnp.float32) * fu * (1 - fv)
+        + coarse[v1, u0].astype(jnp.float32) * (1 - fu) * fv
+        + coarse[v1, u1].astype(jnp.float32) * fu * fv
     )
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
@@ -168,9 +185,73 @@ def select_keypoints(
     kept, while tie *ordering* across blocks can also differ from the
     dense path. Real heatmap scores tie with probability ~0; the fixture
     tests use distinct scores.
+
+    With ``cfg.topk_method == "approx"`` (the default) the block-max
+    top_k runs through ``lax.approx_max_k`` (the TPU PartialReduce op,
+    recall_target 0.99): up to ~1% of the *weakest-scoring* slots may be
+    swapped for near-ties — harmless for matching, and the bench/ablation
+    accuracy gates run with it on. Set ``topk_method="exact"`` for the
+    fully deterministic path.
     """
     b = 4
     use_blocks = cfg.nms_radius >= b - 1
+    backend = cfg.nms_backend
+    if backend == "auto":
+        # the fused kernel requires a lane-aligned width (multi-octave
+        # resizes aren't in general); those fall back to the XLA path
+        lane_ok = heat.shape[-1] % 128 == 0
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu" and lane_ok
+            else "xla"
+        )
+
+    def topk(scores):
+        if cfg.topk_method == "approx":
+            vals, i = jax.lax.approx_max_k(
+                scores, cfg.max_keypoints, recall_target=0.99
+            )
+            return vals, i.astype(jnp.int32)
+        return jax.lax.top_k(scores, cfg.max_keypoints)
+
+    def one_fused(h, d):
+        """Fused pallas path: NMS+threshold+border+4-row pooling in one
+        VMEM pass, then 4-col pooling + top-k on the 16x-reduced maps."""
+        from forest_slam_tpu.frontend.pallas_select import nms_pooled
+
+        H, W = h.shape
+        vals4, idx4, Wp = nms_pooled(
+            h,
+            radius=cfg.nms_radius,
+            threshold=cfg.keypoint_threshold,
+            border=4,
+            interpret=backend == "pallas_interpret",
+        )
+        Hq, _ = vals4.shape  # (Hp/4, Wp)
+        rv = vals4.reshape(Hq, Wp // b, b)
+        ri = idx4.reshape(Hq, Wp // b, b)
+        # column pooling as a compare chain (gather-free; the TPU gather
+        # unit would dominate a take_along_axis over the full block map)
+        bvals, bidx = rv[..., 0], ri[..., 0]
+        for j in range(1, b):
+            better = rv[..., j] > bvals
+            bvals = jnp.where(better, rv[..., j], bvals)
+            bidx = jnp.where(better, ri[..., j], bidx)
+        vals, t = topk(bvals.reshape(-1))
+        flat = bidx.reshape(-1)[t]
+        valid = vals > 0.0
+        xy = jnp.stack(
+            [
+                (flat % Wp).astype(jnp.float32),
+                (flat // Wp).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        xy = xy * valid[:, None]
+        desc = _sample_coarse_descriptors(
+            d, xy, sample_dtype=cfg.desc_sample_dtype
+        )
+        return xy, vals, desc, valid
 
     def one(h, d):
         H, W = h.shape
@@ -195,7 +276,7 @@ def select_keypoints(
                 .reshape(Hb * Wb, b * b)
             )
             bmax = jnp.max(blocks, axis=1)  # (Hb*Wb,)
-            vals, bidx = jax.lax.top_k(bmax, cfg.max_keypoints)
+            vals, bidx = topk(bmax)
             local = jnp.argmax(blocks[bidx], axis=1)  # (K,) in-block argmax
             by = bidx // Wb
             bx = bidx % Wb
@@ -210,10 +291,13 @@ def select_keypoints(
             axis=-1,
         )
         xy = xy * valid[:, None]
-        desc = _sample_coarse_descriptors(d, xy)
+        desc = _sample_coarse_descriptors(
+            d, xy, sample_dtype=cfg.desc_sample_dtype
+        )
         return xy, vals, desc, valid
 
-    xy, score, desc, valid = jax.vmap(one)(heat, coarse_desc)
+    fn = one_fused if backend.startswith("pallas") else one
+    xy, score, desc, valid = jax.vmap(fn)(heat, coarse_desc)
     return SuperPointFeatures(xy=xy, score=score, desc=desc, valid=valid)
 
 
