@@ -183,20 +183,31 @@ def nms_pooled_batched(
 
 
 def _make_nms_pooled(radius, threshold, border, interpret):
+    # fb is the (B, H, W) batched entry; its vmap rule collapses one
+    # leading batch axis and calls fb again, so arbitrarily nested vmaps
+    # (e.g. frames x octaves in the multi-scale extraction) all funnel
+    # into ONE flat pallas_call instead of hitting pallas' default
+    # batching rule (which cannot batch ANY-memory-space blocks).
     @jax.custom_batching.custom_vmap
-    def f(heat):
-        vals, idx, _ = nms_pooled_batched(
-            heat[None], radius, threshold, border, interpret
-        )
-        return vals[0], idx[0]
-
-    @f.def_vmap
-    def f_vmap(axis_size, in_batched, heats):
-        del axis_size, in_batched
+    def fb(heats):
         vals, idx, _ = nms_pooled_batched(
             heats, radius, threshold, border, interpret
         )
-        return (vals, idx), (True, True)
+        return vals, idx
+
+    @fb.def_vmap
+    def fb_vmap(axis_size, in_batched, heats):
+        del axis_size, in_batched
+        B2, B = heats.shape[0], heats.shape[1]
+        vals, idx = fb(heats.reshape(B2 * B, *heats.shape[2:]))
+        return (
+            vals.reshape(B2, B, *vals.shape[1:]),
+            idx.reshape(B2, B, *idx.shape[1:]),
+        ), (True, True)
+
+    def f(heat):
+        vals, idx = fb(heat[None])
+        return vals[0], idx[0]
 
     return f
 

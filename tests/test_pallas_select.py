@@ -74,3 +74,27 @@ def test_pallas_select_border_and_threshold():
     f = select_keypoints(heat, coarse, cfg)
     kept = _kp_set(f)
     assert kept == {(40, 20, 0.8)}
+
+
+def test_pallas_select_nested_vmap():
+    """The lowres/multi-octave path stacks vmaps (frames x octaves) on top
+    of select_keypoints' internal vmap; the custom_vmap rule must collapse
+    every level into one flat pallas_call (regression: lowlevel pallas
+    batching cannot handle ANY-memory-space blocks)."""
+    from forest_slam_tpu.frontend.pallas_select import nms_pooled
+
+    H, W = 64, 128
+    heat = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, H, W)) ** 12
+
+    def one(h):
+        vals, idx, _ = nms_pooled(h, interpret=True)
+        return vals, idx
+
+    v2, i2 = jax.vmap(jax.vmap(one))(heat)
+    assert v2.shape == (2, 3, H // 4, W)
+    # reference: flat batch through the same kernel
+    from forest_slam_tpu.frontend.pallas_select import nms_pooled_batched
+
+    vf, if_, _ = nms_pooled_batched(heat.reshape(6, H, W), interpret=True)
+    np.testing.assert_array_equal(np.asarray(v2).reshape(6, H // 4, W), vf)
+    np.testing.assert_array_equal(np.asarray(i2).reshape(6, H // 4, W), if_)
