@@ -26,9 +26,14 @@ _WEIGHTS_DIR = os.path.join(
 DEFAULT_PATH = os.path.join(_WEIGHTS_DIR, "learned_frontend.msgpack")
 
 # The flagship inference checkpoint: the stride-1 run distilled into the
-# 2.4x-faster space-to-depth stem (train/distill.py). Benched at 137.2
-# pairs/s, ATE 0.0604 m at 960x600 K=1 (BASELINE.md round-2 table).
+# space-to-depth stem-4 student (train/distill.py). Benched at 170.1
+# pairs/s, ATE 0.0534 m at 960x600 K=1, lowres gate 23/23 at 0.0112 m
+# (BASELINE.md round-2 table). The stem-2 distilled checkpoint is the
+# fallback tier.
 FLAGSHIP_PATH = os.path.join(
+    _WEIGHTS_DIR, "learned_frontend_stem4_distilled.msgpack"
+)
+_FLAGSHIP_FALLBACK = os.path.join(
     _WEIGHTS_DIR, "learned_frontend_stem2_distilled.msgpack"
 )
 
@@ -43,9 +48,13 @@ WIDE_BASELINE_PATH = os.path.join(
 
 
 def flagship_path() -> str:
-    """Default checkpoint for *loading* (CLI/bench): the distilled stem-2
-    flagship when committed, else the stride-1 training checkpoint."""
-    return FLAGSHIP_PATH if os.path.exists(FLAGSHIP_PATH) else DEFAULT_PATH
+    """Default checkpoint for *loading* (CLI/bench): the distilled stem-4
+    flagship when committed, else the distilled stem-2 tier, else the
+    stride-1 training checkpoint."""
+    for p in (FLAGSHIP_PATH, _FLAGSHIP_FALLBACK):
+        if os.path.exists(p):
+            return p
+    return DEFAULT_PATH
 
 
 def wide_baseline_path() -> str:
