@@ -565,6 +565,7 @@ def cmd_distill_frontend(args) -> int:
         learning_rate=args.lr,
         pool_frames=args.pool_frames,
         pool_height=args.pool_height, pool_width=args.pool_width,
+        w_scale=args.w_scale,
     )
     state, history, payload = distill(
         cfg, args.steps, seed=args.seed, log_every=args.log_every,
@@ -686,6 +687,9 @@ def main(argv=None) -> int:
     p.add_argument("--pool-height", type=int, default=600,
                    help="pool render rows (the teacher's native scale)")
     p.add_argument("--pool-width", type=int, default=960)
+    p.add_argument("--w-scale", type=float, default=2.0,
+                   help="cross-scale descriptor-consistency weight "
+                        "(0 disables the zoom-augmented term)")
     p.set_defaults(fn=cmd_distill_frontend)
 
     args = ap.parse_args(argv)

@@ -32,6 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from forest_slam_tpu.utils import tpu_backend
+
 from forest_slam_tpu.frontend.fast import fast_score_map, harris_response, nms_topk
 from forest_slam_tpu.utils.filters import gaussian_blur, resize_bilinear
 
@@ -260,9 +262,7 @@ def _use_pallas(cfg: OrbConfig) -> bool:
         return True
     if cfg.detect_backend == "xla":
         return False
-    # the axon PJRT plugin reports its devices as "tpu" but the backend
-    # name may differ — check both
-    return jax.default_backend() in ("tpu", "axon")
+    return tpu_backend()
 
 
 def _select_keypoints_pallas(level_img, budget: int, cfg: OrbConfig):

@@ -23,6 +23,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from forest_slam_tpu.utils import tpu_backend
+
 
 class RefineConfig(NamedTuple):
     radius: int = 12  # search +-radius px around the matcher's estimate
@@ -56,7 +58,7 @@ def _resolve_cost_path(
 ) -> str:
     if cfg.cost_path != "auto":
         return cfg.cost_path
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = tpu_backend()
     # VMEM budget: the kernel holds both padded frames + a (K, n8, 128)
     # f32 cost block in scoped VMEM. pallas_refine.py now sizes the
     # compiler's vmem_limit from its own buffers (the 16 MB default OOM'd

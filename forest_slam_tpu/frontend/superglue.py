@@ -26,6 +26,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from forest_slam_tpu.utils import tpu_backend
 import flax.linen as nn
 
 NEG = -1e9
@@ -39,7 +41,7 @@ def _sinkhorn_pallas_ok(cfg, K0: int, K1: int) -> bool:
     if impl != "auto":
         return False
     return (
-        jax.default_backend() == "tpu" and K0 % 128 == 0 and K1 % 128 == 0
+        tpu_backend() and K0 % 128 == 0 and K1 % 128 == 0
     )
 
 
@@ -48,7 +50,7 @@ def _flash_ok(cfg, K: int, S: int, dh: int) -> bool:
     if cfg.attention_impl != "flash":
         return False
     return (
-        jax.default_backend() == "tpu"
+        tpu_backend()
         and K % 128 == 0
         and S % 128 == 0
         and dh % 64 == 0

@@ -26,6 +26,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from forest_slam_tpu.utils import tpu_backend
 import flax.linen as nn
 
 from forest_slam_tpu.utils.filters import maxpool2d_same
@@ -202,7 +204,7 @@ def select_keypoints(
         lane_ok = heat.shape[-1] % 128 == 0
         backend = (
             "pallas"
-            if jax.default_backend() == "tpu" and lane_ok
+            if tpu_backend() and lane_ok
             else "xla"
         )
 

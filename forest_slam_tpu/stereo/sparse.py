@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from forest_slam_tpu.utils import tpu_backend
+
 from forest_slam_tpu.stereo.disparity import SgmConfig, _prefilter
 
 
@@ -56,7 +58,7 @@ def resolve_cost_path(cfg: SparseStereoConfig, K: int, H: int, W: int) -> str:
     del K, H, W
     if cfg.cost_path != "auto":
         return cfg.cost_path
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = tpu_backend()
     fits = cfg.num_disparities + cfg.window - 1 <= 128 and cfg.window <= 8
     return "pallas" if (on_tpu and fits) else "gather"
 

@@ -73,6 +73,16 @@ class DistillConfig(NamedTuple):
     noise_sigma: float = 2.0
     max_gain: float = 0.25  # log-uniform contrast jitter
     max_bias: float = 16.0  # brightness jitter (gray levels)
+    # cross-scale descriptor consistency: the student also sees a central
+    # zoom-in of each image (apparent scale of forward motion — a K=20
+    # keyframe gap is ~1.6x on the corridor/forest clips) and must
+    # reproduce the teacher's scale-1.0 descriptors at the corresponding
+    # source locations. This is what makes the distilled descriptor space
+    # survive wide-baseline matching, where the plain distilled checkpoint
+    # mis-assigned (BASELINE.md K-ablation notes). w_scale=0 disables.
+    w_scale: float = 2.0
+    scale_min: float = 1.2
+    scale_max: float = 2.0
 
 
 class DistillState(NamedTuple):
@@ -231,8 +241,63 @@ def _distill_batch(key: jax.Array, cfg: DistillConfig, pool: jax.Array):
     return jnp.clip((imgs - 127.5) * gain + 127.5 + bias + noise, 0, 255)
 
 
-def distill_loss(student_params, teacher_out, images, cfg: DistillConfig):
-    """Teacher raw outputs + images -> (loss, metrics)."""
+def _zoom_batch(key: jax.Array, images: jax.Array, cfg: DistillConfig):
+    """Per-image central zoom-in by a random ratio in [scale_min,
+    scale_max] (bilinear, same canvas). The zoomed view is what the same
+    scene looks like ~s x closer — the forward-motion scale change a
+    wide keyframe gap produces."""
+    from jax.scipy.ndimage import map_coordinates
+
+    B, H, W = images.shape
+    s = jax.random.uniform(
+        key, (B,), minval=cfg.scale_min, maxval=cfg.scale_max
+    )
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+
+    def one(img, si):
+        sy = cy + (yy - cy) / si
+        sx = cx + (xx - cx) / si
+        return map_coordinates(img, [sy, sx], order=1, mode="nearest")
+
+    return jax.vmap(one)(images, s), s
+
+
+def _sample_cells_at_zoom(grid: jax.Array, s: jax.Array) -> jax.Array:
+    """Bilinearly sample a (B, Hc, Wc, C) cell grid of the *source* image
+    at the source positions of the zoomed image's cell centers. Cell
+    (i, j) covers pixels [8i, 8i+8) so its center is 8i+3.5; zoomed pixel
+    y maps back to cy + (y - cy)/s."""
+    from jax.scipy.ndimage import map_coordinates
+
+    B, Hc, Wc, C = grid.shape
+    H, W = Hc * 8, Wc * 8
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ci = jnp.arange(Hc, dtype=jnp.float32) * 8.0 + 3.5
+    cj = jnp.arange(Wc, dtype=jnp.float32) * 8.0 + 3.5
+    yy, xx = jnp.meshgrid(ci, cj, indexing="ij")
+
+    def one(g, si):
+        sy = (cy + (yy - cy) / si - 3.5) / 8.0  # cell coords in source grid
+        sx = (cx + (xx - cx) / si - 3.5) / 8.0
+        return jax.vmap(
+            lambda c: map_coordinates(c, [sy, sx], order=1, mode="nearest")
+        )(jnp.moveaxis(g, -1, 0))
+
+    return jnp.moveaxis(jax.vmap(one)(grid, s), 1, -1)  # (B, Hc, Wc, C)
+
+
+def distill_loss(
+    student_params, teacher_out, images, cfg: DistillConfig, zoom=None
+):
+    """Teacher raw outputs + images -> (loss, metrics). ``zoom``, when
+    given, is ``(images_z, s)`` from :func:`_zoom_batch`; the student's
+    descriptors on the zoomed view are pulled toward the teacher's
+    scale-1.0 descriptors at the corresponding source cells."""
     student = _student_net(cfg)
     s = student.apply(student_params, images / 255.0)
 
@@ -252,20 +317,47 @@ def distill_loss(student_params, teacher_out, images, cfg: DistillConfig):
     l_desc = jnp.mean(w * (1.0 - cos))
 
     total = cfg.w_det * l_det + cfg.w_desc * l_desc
-    return total, {
-        "loss": total,
+    metrics = {
         "det": l_det,
         "desc": l_desc,
         "cos_kp": jnp.sum(kp * cos) / jnp.maximum(jnp.sum(kp), 1e-6),
     }
 
+    if zoom is not None:
+        images_z, ratios = zoom
+        s_z = student.apply(student_params, images_z / 255.0)
+        t_desc_z = jax.lax.stop_gradient(
+            _sample_cells_at_zoom(t_desc, ratios)
+        )
+        # bilinear blends of unit vectors are sub-unit: renormalize
+        t_desc_z = t_desc_z / jnp.maximum(
+            jnp.linalg.norm(t_desc_z, axis=-1, keepdims=True), 1e-6
+        )
+        kp_z = jax.lax.stop_gradient(
+            _sample_cells_at_zoom(kp[..., None], ratios)[..., 0]
+        )
+        kp_z = kp_z / jnp.maximum(jnp.mean(kp_z), 1e-6)
+        w_z = cfg.desc_floor + (1.0 - cfg.desc_floor) * kp_z
+        cos_z = jnp.sum(s_z.coarse_desc * t_desc_z, axis=-1)
+        l_scale = jnp.mean(w_z * (1.0 - cos_z))
+        total = total + cfg.w_scale * l_scale
+        metrics["scale"] = l_scale
+
+    metrics["loss"] = total
+    return total, metrics
+
 
 def _distill_step_raw(
-    state: DistillState, teacher, teacher_params, images, cfg: DistillConfig
+    state: DistillState,
+    teacher,
+    teacher_params,
+    images,
+    cfg: DistillConfig,
+    zoom=None,
 ):
     t_out = teacher.apply(teacher_params, images / 255.0)
     grads, metrics = jax.grad(distill_loss, has_aux=True)(
-        state.params, t_out, images, cfg
+        state.params, t_out, images, cfg, zoom
     )
     updates, opt_state = _make_optimizer(cfg).update(
         grads, state.opt_state, state.params
@@ -288,8 +380,12 @@ def distill_steps_scan(
     on-device inside lax.scan, as train_steps_scan)."""
 
     def one(st, bk):
+        bk, zk = jax.random.split(bk)
         images = _distill_batch(bk, cfg, pool)
-        return _distill_step_raw(st, teacher, teacher_params, images, cfg)
+        zoom = _zoom_batch(zk, images, cfg) if cfg.w_scale > 0 else None
+        return _distill_step_raw(
+            st, teacher, teacher_params, images, cfg, zoom
+        )
 
     def body(carry, _):
         st, k = carry

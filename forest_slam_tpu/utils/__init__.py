@@ -1,6 +1,21 @@
 """Shared utilities (filters, corruption, metrics, runtime setup)."""
 
 
+def tpu_backend() -> bool:
+    """True when the default backend is a TPU. PJRT plugins can register
+    under a vendor platform name while still exposing TPU devices (the
+    axon tunnel plugin does) — every "should I take the Pallas/TPU fast
+    path" gate must use this, not ``default_backend() == "tpu"``."""
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon"):
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def enable_compilation_cache(path: str = "/root/.cache/jax_fs") -> None:
     """Point jax at the persistent compilation cache. A cold process pays
     minutes compiling the renderer + pipeline on the tunneled TPU; every

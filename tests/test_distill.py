@@ -131,3 +131,33 @@ def test_distilled_checkpoint_roundtrip(teacher_ckpt, tmp_path):
     )
     out_s = net.apply(loaded, jnp.zeros((1, 48, 64)))
     assert out_s.heat.shape == (1, 48, 64)
+
+
+def test_scale_consistency_term(teacher_ckpt):
+    """With zoom given: a stride-1 student holding the teacher's params
+    has near-zero scale loss at ratio 1.0 (sampling is the identity) and
+    a finite, larger one at real zoom ratios."""
+    from forest_slam_tpu.train.distill import _zoom_batch, distill_loss as dl
+
+    cfg = tiny_cfg(teacher_ckpt, stem_stride=1)
+    teacher, t_params, _, _ = load_teacher(cfg)
+    imgs = jnp.asarray(
+        np.random.RandomState(2).uniform(0, 255, (2, 48, 64)), jnp.float32
+    )
+    t_out = teacher.apply(t_params, imgs / 255.0)
+    ident = (imgs, jnp.ones((2,)))
+    _, m_id = dl(t_params, t_out, imgs, cfg, zoom=ident)
+    assert float(m_id["scale"]) < 1e-5
+    zoom = _zoom_batch(jax.random.PRNGKey(0), imgs, cfg)
+    _, m_z = dl(t_params, t_out, imgs, cfg, zoom=zoom)
+    assert np.isfinite(float(m_z["scale"]))
+    assert float(m_z["scale"]) > float(m_id["scale"])
+
+
+def test_distill_steps_with_scale_term(teacher_ckpt):
+    cfg = tiny_cfg(teacher_ckpt, w_scale=1.0)
+    pool = make_pool(cfg)
+    state, history, _ = distill(cfg, 4, log_every=4, pool=pool, seed=1)
+    assert int(state.step) == 4
+    assert np.isfinite(history[-1][1]["loss"])
+    assert "scale" in history[-1][1]
