@@ -25,30 +25,34 @@ _WEIGHTS_DIR = os.path.join(
 # default and what distill-frontend distills from.
 DEFAULT_PATH = os.path.join(_WEIGHTS_DIR, "learned_frontend.msgpack")
 
-# The flagship inference checkpoint: the stride-1 run distilled into the
-# space-to-depth stem-4 student (train/distill.py). Benched at 170.1
-# pairs/s, ATE 0.0534 m at 960x600 K=1, lowres gate 23/23 at 0.0112 m
-# (BASELINE.md round-2 table). The stem-2 distilled checkpoint is the
-# fallback tier.
+# The flagship inference checkpoint — ONE checkpoint for every regime:
+# the wide-baseline stem-2 teacher distilled into the space-to-depth
+# stem-4 student with the cross-scale consistency term (train/distill.py).
+# Benched at 163 pairs/s / ATE 0.0530 m at 960x600 K=1, lowres gate
+# 23/23 at 0.0122 m, K=10 15/15 / 0.006 m, K=20 7/7 / 0.014 m with the
+# --wide-baseline stack (BASELINE.md round-2 table) — the best recorded
+# numbers at every K. The stem-2 distilled checkpoint is the fallback
+# tier.
 FLAGSHIP_PATH = os.path.join(
-    _WEIGHTS_DIR, "learned_frontend_stem4_distilled.msgpack"
+    _WEIGHTS_DIR, "learned_frontend_stem4_wb_distilled.msgpack"
 )
 _FLAGSHIP_FALLBACK = os.path.join(
     _WEIGHTS_DIR, "learned_frontend_stem2_distilled.msgpack"
 )
 
-# The wide-baseline (K>=20) checkpoint: the directly-trained stem-2 run
-# whose descriptor space survives the ~1.6x forward-motion scale gap
-# (K=20 7/7 / 0.030 m with the --wide-baseline stack; the distilled
-# checkpoint's stem-1 descriptor space does not — gap-20 assignments land
-# at 197 px median residual, scripts/diag_wide_baseline.py).
+# The directly-trained stem-2 run: the teacher of the flagship
+# distillation — its descriptor space survives the ~1.6x forward-motion
+# scale gap of K=20 keyframing, which the stride-1 teacher's does not
+# (gap-20 assignments land at 197 px median residual,
+# scripts/diag_wide_baseline.py). Kept as the reproducible teacher;
+# inference should use the flagship.
 WIDE_BASELINE_PATH = os.path.join(
     _WEIGHTS_DIR, "learned_frontend_stem2.msgpack"
 )
 
 
 def flagship_path() -> str:
-    """Default checkpoint for *loading* (CLI/bench): the distilled stem-4
+    """Default checkpoint for *loading* (CLI/bench): the distilled
     flagship when committed, else the distilled stem-2 tier, else the
     stride-1 training checkpoint."""
     for p in (FLAGSHIP_PATH, _FLAGSHIP_FALLBACK):
@@ -58,12 +62,11 @@ def flagship_path() -> str:
 
 
 def wide_baseline_path() -> str:
-    """Default checkpoint for the --wide-baseline preset."""
-    return (
-        WIDE_BASELINE_PATH
-        if os.path.exists(WIDE_BASELINE_PATH)
-        else flagship_path()
-    )
+    """Default checkpoint for the --wide-baseline preset. The flagship
+    now wins at every K (it is distilled FROM the wide-baseline teacher
+    with a cross-scale consistency term), so the preset and the default
+    path share one checkpoint."""
+    return flagship_path()
 
 
 def save_params(params, path: str = DEFAULT_PATH, meta: dict | None = None) -> None:
