@@ -21,9 +21,10 @@ vs_baseline = pairs_per_sec / 10.0, so >10 means the north star is met.
 
 Flags: --quick (small frames, few pairs — smoke test), --frontend
 orb|sp|auto (auto — the default — runs sp when trained weights exist,
-else orb), --weights PATH (learned checkpoint; defaults to the flagship
-weights/learned_frontend_stem2_distilled.msgpack, falling back to the
-stride-1 training checkpoint), --frames N, --no-accuracy (skip the
+else orb), --weights PATH (learned checkpoint; defaults to
+frontend.weights.flagship_path(): the stem-4 WB-distilled flagship,
+falling back through the stem-2 distilled tier to the stride-1
+training checkpoint), --frames N, --no-accuracy (skip the
 synthetic-GT ATE pass, which is otherwise always run), --profile DIR
 (jax.profiler trace of the timed run).
 
@@ -51,13 +52,23 @@ import traceback
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-_DISTILLED = os.path.join(
-    REPO, "weights", "learned_frontend_stem2_distilled.msgpack"
+sys.path.insert(0, REPO)
+
+# flagship = the stem-4 WB-distilled checkpoint (163-170 pairs/s, ATE
+# 0.053 m; BASELINE.md round-2 table), falling back through the stem-2
+# distilled tier to the stride-1 training checkpoint. Mirrors
+# frontend.weights.flagship_path() without importing jax before the
+# --platform flag is handled.
+_FLAGSHIP_TIERS = (
+    "learned_frontend_stem4_wb_distilled.msgpack",
+    "learned_frontend_stem2_distilled.msgpack",
+    "learned_frontend.msgpack",
 )
-_STEM1 = os.path.join(REPO, "weights", "learned_frontend.msgpack")
-# flagship = the distilled stem-2 checkpoint (137.2 pairs/s, ATE 0.0604 m;
-# BASELINE.md round-2 table), stride-1 teacher as fallback.
-WEIGHTS_PATH = _DISTILLED if os.path.exists(_DISTILLED) else _STEM1
+WEIGHTS_PATH = next(
+    (p for n in _FLAGSHIP_TIERS
+     if os.path.exists(p := os.path.join(REPO, "weights", n))),
+    os.path.join(REPO, "weights", _FLAGSHIP_TIERS[-1]),
+)
 
 
 def log(msg: str) -> None:
