@@ -163,12 +163,24 @@ def main() -> None:
     log(f"# workload: {n_frames} pairs @ {W}x{H}, frontend={args.frontend}")
 
     # ---- render the unique clip on-device, in small chunks --------------
+    # The 960x600 ray-cast costs ~3 s/frame on the tunneled TPU (~192 s for
+    # the 64 unique bench frames), so the rendered stack is cached on disk:
+    # repeat bench runs (and the driver's end-of-round run) skip straight
+    # to the pipeline. The cache key pins every input that shapes the
+    # frames; the pipeline itself is never cached.
     t0 = time.time()
     world = make_corridor_world(jax.random.PRNGKey(0))
     rig = default_rig(H, W, baseline=0.25)
     Ts = corridor_trajectory(n_unique, speed=0.15)
     K = rig.left.K
     T_lr = rig.T_left_right
+
+    cache_dir = os.environ.get(
+        "FS_BENCH_RENDER_CACHE", "/root/.cache/fs_render"
+    )
+    cache_path = os.path.join(
+        cache_dir, f"bench_corridor_{n_unique}f_{W}x{H}_s0_v0.15.npz"
+    )
 
     # NOTE: world/K/T_lr are passed as ARGUMENTS, not closed over. A jitted
     # function that closes over a concrete device array permanently drops
@@ -184,20 +196,36 @@ def main() -> None:
 
         return jax.vmap(frame)(Ts)
 
-    rc = 8
-    parts = []
-    for s in range(0, n_unique, rc):
-        chunk = jnp.asarray(Ts[s : s + rc])
-        if chunk.shape[0] < rc:  # pad to keep one compiled shape
-            chunk = jnp.concatenate(
-                [chunk, jnp.tile(chunk[-1:], (rc - chunk.shape[0], 1, 1))]
+    if os.path.exists(cache_path):
+        z = np.load(cache_path)
+        images_l = jnp.asarray(z["il"])
+        images_r = jnp.asarray(z["ir"])
+        log(f"# loaded {n_unique} cached frames in {time.time()-t0:.1f}s")
+    else:
+        rc = 8
+        parts = []
+        for s in range(0, n_unique, rc):
+            chunk = jnp.asarray(Ts[s : s + rc])
+            if chunk.shape[0] < rc:  # pad to keep one compiled shape
+                chunk = jnp.concatenate(
+                    [chunk, jnp.tile(chunk[-1:], (rc - chunk.shape[0], 1, 1))]
+                )
+            out = render_chunk(world, chunk, K, T_lr, H, W)
+            jax.block_until_ready(out)
+            parts.append(out)
+        images_l = jnp.concatenate([p[0] for p in parts])[:n_unique]
+        images_r = jnp.concatenate([p[1] for p in parts])[:n_unique]
+        log(f"# rendered {n_unique} unique frames in {time.time()-t0:.1f}s")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(  # np.savez appends .npz to the tmp stem
+                cache_path + ".tmp",
+                il=np.asarray(images_l, np.float32),
+                ir=np.asarray(images_r, np.float32),
             )
-        out = render_chunk(world, chunk, K, T_lr, H, W)
-        jax.block_until_ready(out)
-        parts.append(out)
-    images_l = jnp.concatenate([p[0] for p in parts])[:n_unique]
-    images_r = jnp.concatenate([p[1] for p in parts])[:n_unique]
-    log(f"# rendered {n_unique} unique frames in {time.time()-t0:.1f}s")
+            os.replace(cache_path + ".tmp.npz", cache_path)
+        except OSError as e:  # cache is best-effort
+            log(f"# render cache write skipped: {e}")
 
     # ping-pong index sequence: 0..U-1,U-2..0,1..  (consecutive frames stay
     # adjacent in the underlying trajectory, like the real 10 Hz stream)
