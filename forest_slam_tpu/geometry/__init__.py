@@ -9,6 +9,7 @@ from forest_slam_tpu.geometry.epipolar import (
     sampson_error,
 )
 from forest_slam_tpu.geometry.pnp import solve_pnp_ransac
+from forest_slam_tpu.geometry.fivepoint import five_point_candidates
 
 __all__ = [
     "ransac_sample_indices",
@@ -20,4 +21,5 @@ __all__ = [
     "essential_from_pose",
     "sampson_error",
     "solve_pnp_ransac",
+    "five_point_candidates",
 ]

@@ -106,29 +106,45 @@ def find_essential_ransac(
     key: jax.Array,
     threshold: float,
     n_hypotheses: int = 1024,
+    minimal: str = "8pt",
 ) -> EssentialResult:
-    """8-point RANSAC over a fixed hypothesis batch (best minimal model).
+    """Essential-matrix RANSAC over a fixed hypothesis batch.
 
     Args:
         x0, x1: (N, 2) normalized camera coordinates.
         valid: (N,) mask.
         threshold: inlier gate on sqrt(Sampson) in normalized units
             (pixel_threshold / focal).
+        minimal: "8pt" (linear nullspace — fast, needs non-planar scenes)
+            or "5pt" (Nister — the reference's cv2.findEssentialMat
+            semantics, mono_slam.py:111; survives planar-dominant scenes
+            where the 8-point system is rank-deficient). The 5-point path
+            yields up to 10 candidate models per sample; all are scored.
     """
     from forest_slam_tpu.geometry.pnp import nullspace_inverse_iteration
 
-    idx = ransac_sample_indices(key, valid, n_hypotheses, 8)  # (H, 8)
-
-    # Raw nullspace hypotheses (no essential-manifold projection): the
-    # Sampson distance scores any fundamental-like 3x3, so the batched
-    # 3x3 SVD projection per hypothesis is skipped; only the winner is
-    # projected below. Nullspaces via Cholesky inverse iteration — ~6x
-    # faster than batched SVD on TPU (see pnp.nullspace_inverse_iteration).
-    A = _epipolar_rows(x0[idx], x1[idx])  # (H, 8, 9)
-    Es = nullspace_inverse_iteration(A, 9).reshape(-1, 3, 3)
-    errs = jax.vmap(lambda E: sampson_error(E, x0, x1))(Es)  # (H, N)
     thr2 = threshold * threshold
-    inl = (errs < thr2) & valid[None, :]
+    if minimal == "5pt":
+        from forest_slam_tpu.geometry.fivepoint import five_point_candidates
+
+        idx = ransac_sample_indices(key, valid, n_hypotheses, 5)  # (H, 5)
+        Es, cand_ok = jax.vmap(five_point_candidates)(x0[idx], x1[idx])
+        Es = Es.reshape(-1, 3, 3)  # (H*10, 3, 3)
+        cand_ok = cand_ok.reshape(-1)
+        errs = jax.vmap(lambda E: sampson_error(E, x0, x1))(Es)
+        inl = (errs < thr2) & valid[None, :] & cand_ok[:, None]
+    else:
+        idx = ransac_sample_indices(key, valid, n_hypotheses, 8)  # (H, 8)
+
+        # Raw nullspace hypotheses (no essential-manifold projection): the
+        # Sampson distance scores any fundamental-like 3x3, so the batched
+        # 3x3 SVD projection per hypothesis is skipped; only the winner is
+        # projected below. Nullspaces via Cholesky inverse iteration — ~6x
+        # faster than batched SVD on TPU (pnp.nullspace_inverse_iteration).
+        A = _epipolar_rows(x0[idx], x1[idx])  # (H, 8, 9)
+        Es = nullspace_inverse_iteration(A, 9).reshape(-1, 3, 3)
+        errs = jax.vmap(lambda E: sampson_error(E, x0, x1))(Es)  # (H, N)
+        inl = (errs < thr2) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
     best = jnp.argmax(counts)
 
@@ -143,6 +159,13 @@ def find_essential_ransac(
     E_fit = _essential_from_nullspace(rows * w)
     err_b = sampson_error(E_fit, x0, x1)
     inl_b = (err_b < thr2) & valid
+    if minimal == "5pt":
+        # On the planar scenes the 5-point path exists for, the linear
+        # refit is itself rank-deficient — keep the winning manifold-valid
+        # candidate whenever the refit loses consensus.
+        keep = jnp.sum(inl_b) >= counts[best]
+        E_fit = jnp.where(keep, E_fit, Es[best])
+        inl_b = jnp.where(keep, inl_b, inl[best])
     return EssentialResult(E=E_fit, inliers=inl_b, n_inliers=jnp.sum(inl_b))
 
 
@@ -264,13 +287,16 @@ def estimate_relative_pose(
     n_hypotheses: int = 1024,
     refine_iters: int = 8,
     min_inliers: int = 8,
+    minimal: str = "8pt",
 ) -> RelativePoseResult:
     """Full monocular two-view stack: E-RANSAC -> recoverPose -> GN polish.
 
     The one-call equivalent of the reference's
     findEssentialMat + recoverPose pair (mono_slam.py:111-112).
     """
-    res = find_essential_ransac(x0, x1, valid, key, threshold, n_hypotheses)
+    res = find_essential_ransac(
+        x0, x1, valid, key, threshold, n_hypotheses, minimal=minimal
+    )
     pose = recover_pose(res.E, x0, x1, res.inliers)
     R, t = refine_pose_sampson(
         pose.R, pose.t, x0, x1, valid, threshold, iters=refine_iters

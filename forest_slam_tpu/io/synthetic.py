@@ -32,6 +32,13 @@ from forest_slam_tpu.core.lie import se3_matrix
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Bump whenever the rendered pixels for a fixed (world, trajectory, rig)
+# input would change — i.e. any edit to make_corridor_world / render_view /
+# corridor_trajectory / default_rig that alters output values. bench.py
+# folds this into its on-disk frame-cache key so stale frames are never
+# silently reused (ADVICE r2 medium).
+RENDER_VERSION = 1
+
 
 class Plane(NamedTuple):
     origin: jax.Array  # (3,) a point on the plane

@@ -45,6 +45,11 @@ class MonoConfig(NamedTuple):
     refine_iters: int = 8
     compose_mode: str = "parity"
     min_matches: int = 8
+    # Essential minimal solver: "8pt" (linear, default) or "5pt" (Nister,
+    # the reference's cv2.findEssentialMat semantics — survives
+    # planar-dominant scenes where the 8-point system degenerates;
+    # geometry/fivepoint.py)
+    minimal: str = "8pt"
 
 
 class MonoState(NamedTuple):
@@ -89,6 +94,7 @@ def mono_step(
         threshold=cfg.ransac_threshold_px / cam.fx,
         n_hypotheses=cfg.n_hypotheses,
         refine_iters=cfg.refine_iters,
+        minimal=cfg.minimal,
     )
     ok = rel_pose.ok & (jnp.sum(mask) >= cfg.min_matches)
     rel = se3_matrix(rel_pose.R, rel_pose.t)
@@ -151,6 +157,7 @@ def _mono_pair(prev_feats, cur_feats, key, cam, cfg: MonoConfig,
         threshold=cfg.ransac_threshold_px / cam.fx,
         n_hypotheses=cfg.n_hypotheses,
         refine_iters=cfg.refine_iters,
+        minimal=cfg.minimal,
     )
     ok = rel_pose.ok & (jnp.sum(mask) >= cfg.min_matches)
     rel = se3_matrix(rel_pose.R, rel_pose.t)

@@ -64,7 +64,11 @@ class StereoConfig(NamedTuple):
     # PnP input set: the reference's bare ">= 6 points" gate (quirk B5) lets
     # a garbage front-end (e.g. untrained weights) report success because
     # RANSAC over ~1e3 random correspondences still scrapes 6 "inliers".
-    min_inlier_ratio: float = 0.15
+    # -1 = auto: 0.0 under compose_mode="parity" (the sequential scan must
+    # reproduce the reference's acceptance logic stereo_slam.py:292-306
+    # EXACTLY — no rebuild-only rejection rule; VERDICT r2 weak #5), 0.15
+    # under "odometry". Set explicitly to opt in/out either way.
+    min_inlier_ratio: float = -1.0
     refine_iters: int = 8
     compose_mode: str = "parity"
     min_depth: float = 0.1
@@ -221,10 +225,13 @@ def _match_and_pnp(
         minimal=cfg.pnp_minimal,
     )
     n_valid = jnp.sum(valid)
+    ratio = cfg.min_inlier_ratio
+    if ratio < 0:  # auto (static config branch — resolved at trace time)
+        ratio = 0.0 if cfg.compose_mode == "parity" else 0.15
     ok = (
         pnp.ok
         & (n_valid >= cfg.min_points)
-        & (pnp.n_inliers >= cfg.min_inlier_ratio * jnp.maximum(n_valid, 1))
+        & (pnp.n_inliers >= ratio * jnp.maximum(n_valid, 1))
     )
     rel = se3_matrix(pnp.R, pnp.t)
     if cfg.compose_mode == "odometry":
