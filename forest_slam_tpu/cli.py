@@ -557,19 +557,24 @@ def cmd_train_frontend(args) -> int:
         texture_fraction=args.texture_fraction,
         corridor_fraction=args.corridor_fraction,
         corridor_pool_size=args.corridor_pool,
+        corridor_scene=args.corridor_scene,
+        detector_soft=args.detector_soft,
+        w_zoom=args.w_zoom,
     )
     state, history = train(cfg, args.steps, seed=args.seed, log_every=args.log_every)
     for step, m in history:
         print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
     out = args.out or DEFAULT_PATH
-    save_params(
-        state.params, out,
-        meta={
-            "stem_stride": args.stem_stride,
-            "gnn_layers": cfg.superglue.gnn_layers,
-            "sinkhorn_iterations": cfg.superglue.sinkhorn_iterations,
-        },
-    )
+    meta = {
+        "stem_stride": args.stem_stride,
+        "gnn_layers": cfg.superglue.gnn_layers,
+        "sinkhorn_iterations": cfg.superglue.sinkhorn_iterations,
+    }
+    if args.detector_soft:
+        # soft-target heatmaps are interpolable: enable the sub-pixel
+        # readout for loaders of this checkpoint
+        meta["subpixel"] = "com3"
+    save_params(state.params, out, meta=meta)
     print(f"saved weights -> {out}")
     return 0
 
@@ -687,6 +692,16 @@ def main(argv=None) -> int:
     )
     p.add_argument("--corridor-pool", type=int, default=4096,
                    help="pre-rendered corridor-pair pool size")
+    p.add_argument("--corridor-scene", default="corridor",
+                   choices=["corridor", "forest", "mix"],
+                   help="world(s) for the 3D-supervised pool")
+    p.add_argument("--detector-soft", action="store_true",
+                   help="bilinear-soft sub-pixel detector targets; the "
+                        "checkpoint meta then enables the com3 sub-pixel "
+                        "readout at inference")
+    p.add_argument("--w-zoom", type=float, default=0.0,
+                   help="scale-equivariance descriptor loss weight "
+                        "(1.2-2.0x central zoom InfoNCE)")
     p.set_defaults(fn=cmd_train_frontend)
 
     p = sub.add_parser(

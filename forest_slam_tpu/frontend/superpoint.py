@@ -62,6 +62,16 @@ class SuperPointConfig(NamedTuple):
     # (frontend/pallas_select.py) on TPU and keeps the XLA reduce_window
     # path elsewhere; "xla" / "pallas" / "pallas_interpret" force a path.
     nms_backend: str = "auto"
+    # Sub-pixel keypoint readout: "com3" refines each selected peak by the
+    # 3x3 center of mass of the detector heatmap (two separable 3x3
+    # convolutions + one gather per keypoint — dense, TPU-cheap). Only
+    # meaningful for checkpoints trained with bilinear-soft detector
+    # targets (train/losses.py detector_labels_soft), which make the
+    # heatmap interpolable; hard-label checkpoints keep "none" via their
+    # stored meta. Motivation: PnP's 1 px reference gate rejects plain
+    # SuperGlue matches at wide baselines almost entirely for sub-pixel
+    # localization reasons (VERDICT r2 missing #1 diagnostics).
+    subpixel: str = "none"
 
 
 class SuperPointFeatures(NamedTuple):
@@ -171,6 +181,30 @@ def _sample_coarse_descriptors(
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
+def subpixel_com3(heat: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Array:
+    """Refine integer peak coords by the 3x3 heat center of mass.
+
+    Dense formulation: the numerator/denominator fields are separable 3x3
+    convolutions of the heatmap, so per keypoint only 3 gathers remain.
+    Offsets are clipped to (-0.5, 0.5) — a true corner farther than half a
+    pixel from the peak would have made the neighbouring pixel the peak.
+    """
+    from forest_slam_tpu.utils.filters import conv2d_separable
+
+    H, W = heat.shape
+    k_sum = jnp.ones((3,), jnp.float32)
+    k_off = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    den = conv2d_separable(heat, k_sum, k_sum)
+    num_x = conv2d_separable(heat, k_off, k_sum)
+    num_y = conv2d_separable(heat, k_sum, k_off)
+    xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, H - 1)
+    d = jnp.maximum(den[yi, xi], 1e-12)
+    off = jnp.stack([num_x[yi, xi] / d, num_y[yi, xi] / d], axis=-1)
+    off = jnp.clip(off, -0.5, 0.5)
+    return xy + off * valid[:, None]
+
+
 def select_keypoints(
     heat: jax.Array, coarse_desc: jax.Array, cfg: SuperPointConfig
 ) -> SuperPointFeatures:
@@ -250,6 +284,8 @@ def select_keypoints(
             axis=-1,
         )
         xy = xy * valid[:, None]
+        if cfg.subpixel == "com3":
+            xy = subpixel_com3(h, xy, valid)
         desc = _sample_coarse_descriptors(
             d, xy, sample_dtype=cfg.desc_sample_dtype
         )
@@ -293,6 +329,8 @@ def select_keypoints(
             axis=-1,
         )
         xy = xy * valid[:, None]
+        if cfg.subpixel == "com3":
+            xy = subpixel_com3(h, xy, valid)
         desc = _sample_coarse_descriptors(
             d, xy, sample_dtype=cfg.desc_sample_dtype
         )

@@ -118,6 +118,10 @@ def load_learned_frontend(
     from forest_slam_tpu.frontend.superpoint import SuperPointConfig
 
     meta = load_meta(path)
+    # subpixel readout follows the checkpoint's training recipe: "com3"
+    # only helps heatmaps trained on bilinear-soft targets (meta records
+    # it); hard-label legacy checkpoints default to "none".
+    overrides.setdefault("subpixel", str(meta.get("subpixel", "none")))
     sp = SuperPointConfig(
         stem_stride=int(meta.get("stem_stride", 1)), **overrides
     )

@@ -187,6 +187,7 @@ def corridor_pair(
     min_forward: float = 0.15,
     max_forward: float = 3.0,
     noise_sigma: float = 2.0,
+    scene: str = "corridor",
 ) -> "TrainingBatch":
     """One 3D-supervised pair from the corridor renderer (io/synthetic.py).
 
@@ -207,11 +208,15 @@ def corridor_pair(
     from forest_slam_tpu.io.synthetic import (
         default_rig,
         make_corridor_world,
+        make_forest_world,
         render_view,
     )
 
     ks = jax.random.split(key, 8)
-    world = make_corridor_world(ks[0])
+    if scene == "forest":
+        world = make_forest_world(ks[0])
+    else:
+        world = make_corridor_world(ks[0])
     cam = default_rig(height, width).left
 
     # view 0: random station in the corridor, mild attitude jitter
@@ -289,28 +294,39 @@ def make_corridor_pool(
     width: int,
     max_corners: int = 48,
     chunk: int = 32,
+    scene: str = "corridor",
 ) -> "TrainingBatch":
-    """Pre-rendered 3D-supervised corridor pairs, stacked on axis 0.
+    """Pre-rendered 3D-supervised forward-motion pairs, stacked on axis 0.
 
-    Rendering inside the train step costs ~3 s/step (a fresh corridor
-    world plus two ray-cast views per corridor sample); a pool rendered
-    once and sampled per step amortizes that away. Each pool entry is a
-    distinct world + viewpoint + forward gap; per-step photometric noise
-    is re-drawn at sampling time (make_training_batch).
+    Rendering inside the train step costs ~3 s/step (a fresh world plus
+    two ray-cast views per sample); a pool rendered once and sampled per
+    step amortizes that away. Each pool entry is a distinct world +
+    viewpoint + forward gap; per-step photometric noise is re-drawn at
+    sampling time (make_training_batch). ``scene``: "corridor", "forest"
+    (the BotanicGarden-domain proxy world: trunks, occlusion, clutter),
+    or "mix" (alternating chunks of both).
     """
     n_pairs = -(-n_pairs // chunk) * chunk  # round up to whole chunks
     # pool entries are rendered noise-free: the per-step photometric noise
     # is added once at sampling time (make_training_batch), so pooled and
     # on-the-fly corridor samples see the same noise distribution
-    fn = jax.jit(
-        lambda ks: jax.vmap(
-            lambda k: corridor_pair(
-                k, height, width, max_corners, noise_sigma=0.0
-            )
-        )(ks)
-    )
+    fns = {}
+    for sc in ("corridor", "forest"):
+        fns[sc] = jax.jit(
+            lambda ks, sc=sc: jax.vmap(
+                lambda k: corridor_pair(
+                    k, height, width, max_corners, noise_sigma=0.0, scene=sc
+                )
+            )(ks)
+        )
     keys = jax.random.split(key, n_pairs)
-    outs = [fn(keys[s : s + chunk]) for s in range(0, n_pairs, chunk)]
+    outs = []
+    for ci, s in enumerate(range(0, n_pairs, chunk)):
+        if scene == "mix":
+            sc = "forest" if ci % 2 else "corridor"
+        else:
+            sc = scene
+        outs.append(fns[sc](keys[s : s + chunk]))
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
 
 

@@ -55,6 +55,71 @@ def detector_loss(
     return jnp.sum(nll * w) / jnp.sum(w)
 
 
+def detector_labels_soft(
+    corners: jax.Array, valid: jax.Array, height: int, width: int
+) -> jax.Array:
+    """Corners (M, 2) float -> (Hc, Wc, 65) soft target distributions.
+
+    Each corner's unit mass is split bilinearly over its 4 neighbouring
+    pixels (crossing cell boundaries when it does); per cell the 65-way
+    target is [pixel masses, leftover-to-dustbin], normalized. Unlike the
+    hard labels (detector_labels — integer cast, winner-takes-the-cell),
+    these targets are exact in the sub-pixel corner position, which makes
+    the trained heatmap interpolable: the com3 sub-pixel readout
+    (frontend/superpoint.py subpixel_com3) then recovers the fractional
+    position at inference. This is the 'sub-pixel-aware detector targets'
+    half of the VERDICT r2 wide-baseline plan.
+    """
+    Hc, Wc = height // 8, width // 8
+    x = jnp.clip(corners[:, 0], 0.0, width - 1.001)
+    y = jnp.clip(corners[:, 1], 0.0, height - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    mass = jnp.zeros((height * width,), jnp.float32)
+    vf = valid.astype(jnp.float32)
+    for dx, dy, w in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (1, 0, fx * (1 - fy)),
+        (0, 1, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        xi = jnp.minimum(x0i + dx, width - 1)
+        yi = jnp.minimum(y0i + dy, height - 1)
+        mass = mass.at[yi * width + xi].add(w * vf)
+    cells = (
+        mass.reshape(Hc, 8, Wc, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(Hc, Wc, 64)
+    )
+    total = jnp.sum(cells, axis=-1, keepdims=True)
+    dustbin = jnp.maximum(1.0 - total, 0.0)
+    t = jnp.concatenate([cells, dustbin], axis=-1)
+    return t / jnp.maximum(jnp.sum(t, axis=-1, keepdims=True), 1e-12)
+
+
+def detector_loss_soft(
+    logits: jax.Array, corners: jax.Array, valid: jax.Array
+) -> jax.Array:
+    """Soft cross-entropy against bilinear corner targets.
+
+    logits (B, Hc, Wc, 65); corners (B, M, 2) float; valid (B, M).
+    Corner cells re-weighted 10x like the hard loss.
+    """
+    B, Hc, Wc, _ = logits.shape
+    targets = jax.vmap(
+        lambda c, v: detector_labels_soft(c, v, Hc * 8, Wc * 8)
+    )(corners, valid)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(targets * logp, axis=-1)  # (B, Hc, Wc)
+    has_corner = jnp.sum(targets[..., :64], axis=-1) > 1e-6
+    w = jnp.where(has_corner, 10.0, 1.0)
+    return jnp.sum(ce * w) / jnp.sum(w)
+
+
 def descriptor_nce_loss(
     desc0: jax.Array,
     desc1: jax.Array,

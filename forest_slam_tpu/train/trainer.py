@@ -32,6 +32,7 @@ from forest_slam_tpu.train.data import TrainingBatch, make_training_batch
 from forest_slam_tpu.train.losses import (
     descriptor_nce_loss,
     detector_loss,
+    detector_loss_soft,
     matching_loss,
 )
 
@@ -53,6 +54,23 @@ class TrainConfig(NamedTuple):
     # corridor pairs are drawn from a pool pre-rendered once per run
     # (train/data.py make_corridor_pool): in-step rendering costs ~3 s/step
     corridor_pool_size: int = 4096
+    # pool world mix: "corridor", "forest", or "mix" (half/half — the
+    # BotanicGarden-proxy trunked forest adds occlusion + depth
+    # discontinuities to the scale-gap supervision)
+    corridor_scene: str = "corridor"
+    # Sub-pixel recipe (VERDICT r2 missing #1): bilinear-soft detector
+    # targets (losses.detector_labels_soft) make the heatmap interpolable
+    # for the com3 readout; checkpoints trained with this flag store
+    # subpixel="com3" in their meta.
+    detector_soft: bool = False
+    # Scale-equivariance descriptor term (the distillation w_scale idea,
+    # generalized to direct training): each image0 is also seen through a
+    # random 1.2-2.0x central zoom and its descriptors at corresponding
+    # positions must match (InfoNCE) — direct supervision for the
+    # forward-motion apparent-scale growth of wide-baseline tracking.
+    w_zoom: float = 0.0
+    zoom_min: float = 1.2
+    zoom_max: float = 2.0
 
 
 class TrainState(NamedTuple):
@@ -96,7 +114,8 @@ def loss_fn(params, batch: TrainingBatch, cfg: TrainConfig):
     images = jnp.concatenate([batch.image0, batch.image1]) / 255.0  # (2B,H,W)
     raw = sp.apply(params["superpoint"], images)
 
-    l_det = detector_loss(
+    det_fn = detector_loss_soft if cfg.detector_soft else detector_loss
+    l_det = det_fn(
         raw.det_logits,
         jnp.concatenate([batch.corners0, batch.corners1]),
         jnp.concatenate([batch.valid0, batch.valid1]),
@@ -125,17 +144,54 @@ def loss_fn(params, batch: TrainingBatch, cfg: TrainConfig):
     gt = jnp.where(matchable, jnp.arange(M)[None, :], -1)
     l_match = matching_loss(log_p, gt, batch.valid0, batch.valid1)
 
+    metrics = {
+        "detector": l_det,
+        "descriptor": l_desc,
+        "matching": l_match,
+    }
     total = (
         cfg.w_detector * l_det
         + cfg.w_descriptor * l_desc
         + cfg.w_matching * l_match
     )
-    return total, {
-        "loss": total,
-        "detector": l_det,
-        "descriptor": l_desc,
-        "matching": l_match,
-    }
+
+    if cfg.w_zoom > 0:
+        from forest_slam_tpu.core.camera import remap_bilinear
+
+        H, W = cfg.height, cfg.width
+        ctr = jnp.array([(W - 1) / 2.0, (H - 1) / 2.0])
+        # per-sample zoom factor derived from the batch content (cheap
+        # stand-in for a threaded rng key; any spread in [zoom_min,
+        # zoom_max] serves)
+        u = (jnp.sum(batch.image0, axis=(1, 2)) * 1e-3) % 1.0
+        s = cfg.zoom_min + (cfg.zoom_max - cfg.zoom_min) * u  # (B,)
+
+        def zoom_one(img, si):
+            ys = jnp.arange(H, dtype=jnp.float32)
+            xs = jnp.arange(W, dtype=jnp.float32)
+            gx, gy = jnp.meshgrid(xs, ys)
+            src = jnp.stack(
+                [(gx - ctr[0]) / si + ctr[0], (gy - ctr[1]) / si + ctr[1]],
+                axis=-1,
+            )
+            return remap_bilinear(img, src)
+
+        zoomed = jax.vmap(zoom_one)(batch.image0 / 255.0, s)
+        raw_z = sp.apply(params["superpoint"], zoomed)
+        cz = (batch.corners0 - ctr) * s[:, None, None] + ctr
+        in_z = (
+            (cz[..., 0] >= 4) & (cz[..., 0] < W - 4)
+            & (cz[..., 1] >= 4) & (cz[..., 1] < H - 4)
+        )
+        desc_z = jax.vmap(_sample_coarse_descriptors)(raw_z.coarse_desc, cz)
+        l_zoom = descriptor_nce_loss(
+            desc0, desc_z, batch.valid0 & in_z
+        )
+        metrics["zoom"] = l_zoom
+        total = total + cfg.w_zoom * l_zoom
+
+    metrics["loss"] = total
+    return total, metrics
 
 
 def _train_step_raw(state: TrainState, batch: TrainingBatch, cfg: TrainConfig):
@@ -235,7 +291,8 @@ def train(
         key, pk = jax.random.split(key)
         t0 = time.time()
         pool = make_corridor_pool(
-            pk, cfg.corridor_pool_size, cfg.height, cfg.width, cfg.max_corners
+            pk, cfg.corridor_pool_size, cfg.height, cfg.width,
+            cfg.max_corners, scene=cfg.corridor_scene,
         )
         jax.tree.map(lambda a: a.block_until_ready(), pool)
         print(
