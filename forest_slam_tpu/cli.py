@@ -66,6 +66,11 @@ def _add_common(p, stereo: bool):
     p.add_argument("--viewer-out", default=None, metavar="HTML",
                    help="write an interactive 3D viewer (trajectory + map "
                         "when available — the RViz-surface equivalent)")
+    p.add_argument("--viewer-follow", action="store_true",
+                   help="follow mode (the live-RViz equivalent): run the "
+                        "streaming scan runner and regenerate --viewer-out "
+                        "after every chunk with an auto-refresh header, so "
+                        "an open browser shows the trajectory grow mid-run")
     if stereo:
         p.add_argument("--map-out", default=None, help="PLY map output path")
         p.add_argument("--voxel", type=float, default=None,
@@ -326,10 +331,25 @@ def cmd_stereo(args) -> int:
         from forest_slam_tpu.backend import WindowBAConfig
 
         ba = WindowBAConfig(window=args.ba_window, iters=args.ba_iters)
-    traj, outs = run_stereo_vo(
-        il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend,
-        fparams=fparams, ba=ba,
-    )
+    if args.viewer_follow and args.viewer_out and ba is None:
+        from forest_slam_tpu.eval.viewer import write_viewer_html
+        from forest_slam_tpu.pipelines.stereo import run_stereo_vo_streaming
+
+        def on_chunk(ts_part, poses_part):
+            write_viewer_html(
+                args.viewer_out, {"estimate": poses_part},
+                title="forest-slam (live)", refresh_seconds=2.0,
+            )
+
+        traj, outs = run_stereo_vo_streaming(
+            il, ir, ts, rig, cfg, args.out, seed=args.seed,
+            frontend=frontend, fparams=fparams, on_chunk=on_chunk,
+        )
+    else:
+        traj, outs = run_stereo_vo(
+            il, ir, ts, rig, cfg, seed=args.seed, frontend=frontend,
+            fparams=fparams, ba=ba,
+        )
     write_tum(args.out, traj)
     if args.metrics_out:
         from forest_slam_tpu.utils.metrics import write_metrics_jsonl

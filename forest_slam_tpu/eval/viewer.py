@@ -16,6 +16,7 @@ double-click = reset. A HUD lists layer toggles and per-trajectory stats.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -49,6 +50,7 @@ def write_viewer_html(
     point_colors: np.ndarray | None = None,
     max_points: int = 400_000,
     title: str = "forest-slam viewer",
+    refresh_seconds: float | None = None,
 ) -> None:
     """Write a standalone interactive viewer to ``path``.
 
@@ -57,6 +59,13 @@ def write_viewer_html(
     ``points``: optional (P, 3) map cloud; ``point_colors`` optional
     (P, 3) float [0,1] or uint8 [0,255]. Clouds above ``max_points`` are
     subsampled with a fixed stride so the file stays loadable.
+
+    ``refresh_seconds``: embed a meta-refresh so an open browser reloads
+    the file on that interval — the follow-mode (live-RViz-equivalent)
+    surface: a writer regenerating this file during a run makes the open
+    page show the trajectory grown so far (see
+    pipelines/stereo.run_stereo_vo_streaming's ``on_chunk`` +
+    ``forest-slam stereo --viewer-follow``).
     """
     layers = []
     ci = 0
@@ -118,8 +127,17 @@ def write_viewer_html(
     html = _TEMPLATE.replace("__TITLE__", title).replace(
         '"__PAYLOAD__"', payload
     )
-    with open(path, "w") as f:
+    if refresh_seconds is not None:
+        html = html.replace(
+            '<meta charset="utf-8">',
+            '<meta charset="utf-8">'
+            f'<meta http-equiv="refresh" content="{refresh_seconds:g}">',
+        )
+    # atomic replace: a follow-mode reader must never see a half-written file
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
         f.write(html)
+    os.replace(tmp, path)
 
 
 _TEMPLATE = r"""<!DOCTYPE html>

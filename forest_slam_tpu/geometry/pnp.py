@@ -450,6 +450,8 @@ def solve_pnp_ransac(
     identity_prior_anneal: float = 48.0,
     weights: jax.Array | None = None,
     minimal: str = "dlt6",
+    preemptive_subset: int = 128,
+    preemptive_keep: int = 64,
 ) -> PnPResult:
     """Robust PnP. ``pts2d`` are pixel observations; ``pts3d`` object points.
 
@@ -480,7 +482,17 @@ def solve_pnp_ransac(
     projective hypotheses) or ``"p3p"`` (3-point Grunert, up to 4 rigid
     poses per sample — use at low inlier rates, where p^3 vs p^6 decides
     whether any clean hypothesis exists in the batch).
+
+    ``preemptive_subset`` > 0 enables two-stage (preemptive) scoring when
+    the point set is large enough: every hypothesis is first scored on a
+    random ``preemptive_subset``-point subset, and only the
+    ``preemptive_keep`` best advance to full-set scoring — the
+    fixed-shape TPU analogue of OpenCV's adaptive early exit
+    (stereo_slam.py:294-295's iterationsCount=1000 run mostly scores
+    hypotheses that a subset vote already rules out). Cuts hypothesis-
+    scoring work ~5x at bench shapes; set 0 to disable.
     """
+    key, sub_key = jax.random.split(key)
     xn = undistort_points(pts2d, cam)  # normalized coords for the DLT
     if minimal == "p3p":
         idx = ransac_sample_indices(key, valid, n_hypotheses, 3, weights)
@@ -494,11 +506,29 @@ def solve_pnp_ransac(
         # raw (un-orthogonalized) hypotheses: scoring is scale/sign-invariant
         A = _dlt_rows(pts3d[idx], xn[idx])  # (H, 12, 12)
         Ps = nullspace_inverse_iteration(A, 12).reshape(-1, 3, 4)
+
+    N = pts3d.shape[0]
+    n_keep = min(preemptive_keep, Ps.shape[0])
+    if preemptive_subset > 0 and N >= 2 * preemptive_subset:
+        # stage 1: subset vote (Gumbel top-k = uniform sample of valid
+        # points without replacement; invalid slots only drawn when fewer
+        # than subset valid points exist, and they never count as inliers)
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(sub_key, (N,), minval=1e-9, maxval=1.0)
+        ))
+        _, sub_idx = jax.lax.top_k(
+            jnp.where(valid, g, -jnp.inf), preemptive_subset
+        )
+        p3_s, p2_s, v_s = pts3d[sub_idx], pts2d[sub_idx], valid[sub_idx]
+        errs_s = jax.vmap(lambda P: _reproject_error(P, p3_s, p2_s, cam))(Ps)
+        counts_s = jnp.sum((errs_s < reproj_threshold) & v_s[None, :], axis=1)
+        _, keep_idx = jax.lax.top_k(counts_s, n_keep)
+        Ps = Ps[keep_idx]
     errs = jax.vmap(lambda P: _reproject_error(P, pts3d, pts2d, cam))(Ps)
     inl = (errs < reproj_threshold) & valid[None, :]
     counts = jnp.sum(inl, axis=1)
 
-    k = min(max(n_starts, 1), n_hypotheses)
+    k = min(max(n_starts, 1), Ps.shape[0])
     _, top_idx = jax.lax.top_k(counts, k)
     P_tops = jax.vmap(
         lambda i: orthogonalize_pose(Ps[i], pts3d, inl[i])

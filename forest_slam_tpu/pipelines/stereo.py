@@ -627,12 +627,19 @@ def run_stereo_vo_streaming(
     frontend: FrontendFns | None = None,
     fparams=None,
     chunk: int = 64,
+    on_chunk=None,
 ) -> tuple[Trajectory, StereoStepOut]:
     """Crash-safe streaming VO: the sequential scan runner advances one
     ``chunk`` of frames at a time and the trajectory rows land in
     ``out_path`` (flushed + fsynced) after every chunk — a crash loses at
     most the current chunk, unlike the reference's end-of-run save
     (stereo_slam.py:352-360, SURVEY.md §5 checkpoint/resume row).
+
+    ``on_chunk(ts_so_far, poses_so_far)`` (optional) fires after every
+    chunk lands — the live-visualization hook (the reference's per-frame
+    RViz publish surface, stereo_slam.py:318,335): the CLI's
+    ``--viewer-follow`` uses it to regenerate an auto-refreshing viewer
+    HTML mid-run.
     """
     from forest_slam_tpu.io.tum import StreamingTumWriter
 
@@ -660,6 +667,13 @@ def run_stereo_vo_streaming(
             outs = jax.tree.map(lambda a: a[:take], outs)
             writer.append(ts[s : s + take], np.asarray(outs.pose, np.float64))
             outs_list.append(jax.tree.map(np.asarray, outs))
+            if on_chunk is not None:
+                on_chunk(
+                    ts[1 : s + take],
+                    np.concatenate([o.pose for o in outs_list]).astype(
+                        np.float64
+                    ),
+                )
     outs = jax.tree.map(lambda *xs: np.concatenate(xs), *outs_list)
     traj = Trajectory.from_matrices(ts[1:], np.asarray(outs.pose, np.float64))
     return traj, outs

@@ -301,10 +301,19 @@ def train(
         )
     history = []
     done = 0
+    t_run = time.time()
     while done < n_steps:
         chunk = min(log_every, n_steps - done)
         state, key, metrics = train_steps_scan(state, key, cfg, chunk, pool)
         done += chunk
         m = {k: float(v) for k, v in metrics.items()}
         history.append((done - 1, m))
+        # live progress (flushed): a multi-hour run must be monitorable
+        # and a diverging loss visible long before the end
+        print(
+            f"# step {done}/{n_steps} "
+            + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()))
+            + f" ({done / max(time.time() - t_run, 1e-9):.1f} steps/s)",
+            flush=True,
+        )
     return state, history

@@ -53,3 +53,30 @@ def test_streaming_vo_matches_scan(tmp_path):
         mode="scan",
     )
     assert np.allclose(traj_r.positions, traj_s.positions, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_streaming_on_chunk_grows(tmp_path):
+    """on_chunk fires per chunk with the trajectory so far (follow mode)."""
+    from forest_slam_tpu.frontend import OrbConfig
+    from forest_slam_tpu.io.synthetic import render_sequence
+    from forest_slam_tpu.pipelines.stereo import (
+        StereoConfig,
+        run_stereo_vo_streaming,
+    )
+    from forest_slam_tpu.stereo import SgmConfig
+
+    seq = render_sequence(7, height=64, width=96)
+    cfg = StereoConfig(
+        orb=OrbConfig(n_features=128, n_levels=3),
+        sgm=SgmConfig(num_disparities=32),
+        n_hypotheses=64,
+    )
+    seen = []
+    run_stereo_vo_streaming(
+        seq.images_left, seq.images_right, seq.timestamps, seq.rig, cfg,
+        str(tmp_path / "t.txt"), chunk=3,
+        on_chunk=lambda ts, poses: seen.append((len(ts), poses.shape)),
+    )
+    assert [s[0] for s in seen] == [3, 6]  # grows chunk by chunk
+    assert seen[-1][1] == (6, 4, 4)

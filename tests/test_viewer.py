@@ -100,3 +100,21 @@ def test_cli_view_roundtrip(tmp_path):
     payload, _ = _payload(out)
     names = [L["name"] for L in payload["layers"]]
     assert names == ["stereo VO", "ground truth", "map"]
+
+
+def test_viewer_follow_refresh_header(tmp_path):
+    """refresh_seconds embeds a meta-refresh (the live-follow surface,
+    VERDICT r2 missing #3) and the write is atomic (no .tmp left)."""
+    from forest_slam_tpu.eval.viewer import write_viewer_html
+
+    import numpy as np
+
+    path = str(tmp_path / "live.html")
+    pos = np.cumsum(np.ones((5, 3)), axis=0)
+    write_viewer_html(path, {"estimate": pos}, refresh_seconds=2.0)
+    html = open(path).read()
+    assert 'http-equiv="refresh" content="2"' in html
+    assert not [p for p in tmp_path.iterdir() if p.suffix == ".tmp"]
+    # no-refresh default stays header-free
+    write_viewer_html(path, {"estimate": pos})
+    assert "http-equiv" not in open(path).read()
