@@ -628,6 +628,22 @@ def main() -> None:
             # blur gate: 50% random motion blur (kernel 15, the thesis's
             # degradation knob, quirk B9) on a 24-frame K=1 clip, default
             # flagship config — learned accuracy must stay flat
+            # plain-config wide-baseline gate (VERDICT r2 missing #1): the
+            # sub-pixel stem-2 checkpoint must track K=10 BARE — single
+            # octave, no SAD refinement, reference thresholds — the
+            # regime where the reference's outdoor weights worked and
+            # round-2 checkpoints scored 0/15.
+            from forest_slam_tpu.frontend.weights import PLAIN_WB_PATH
+
+            if os.path.exists(PLAIN_WB_PATH):
+                fe_p, fp_p = load_learned_frontend(
+                    (H, W), path=PLAIN_WB_PATH, max_keypoints=n_kpts,
+                    superglue_overrides={"softmax_dtype": args.sg_softmax},
+                )
+                cfg_plain = cfg._replace(match_refine_radius=0)
+                vo_gate("plain_k10", il10, ir10, T10, cfg_plain, fe_p, fp_p,
+                        min_ok=14, max_ate=0.15)
+
             blur_cfg = BlurConfig(
                 blur_percentage=50.0, kernel_size=15, angle_deg=45.0
             )

@@ -50,6 +50,21 @@ WIDE_BASELINE_PATH = os.path.join(
     _WEIGHTS_DIR, "learned_frontend_stem2.msgpack"
 )
 
+# The sub-pixel (round-3) stem-2 checkpoint: trained with bilinear-soft
+# detector targets + the com3 readout + a zoom scale-equivariance term
+# (train/losses.py detector_labels_soft, trainer w_zoom). The first
+# in-repo checkpoint whose PLAIN configuration — single octave, no SAD
+# refinement, reference thresholds — tracks K=10 keyframe gaps:
+# 15/15 / ATE 0.075 m on the 960x600 corridor (VERDICT r2 missing #1;
+# scripts/eval_k_ablation.py, measured 2026-08-20). Doubles plain gap-10
+# sub-2px matches vs the flagship (69 vs 33 of ~250,
+# scripts/diag_wide_baseline.py). K=20 plain still needs the
+# wide-baseline stack. Distilling it into stem-4 loses the sub-pixel
+# margin (9/15 at K=10), so this tier stays stem-2.
+PLAIN_WB_PATH = os.path.join(
+    _WEIGHTS_DIR, "learned_frontend_stem2_subpix.msgpack"
+)
+
 
 def flagship_path() -> str:
     """Default checkpoint for *loading* (CLI/bench): the distilled

@@ -166,8 +166,12 @@ def sparse_disparity_at_keypoints(
     pl = _prefilter(left, cfg.prefilter_cap)
     pr = _prefilter(right, cfg.prefilter_cap)
 
-    xi = xy[:, 0].astype(jnp.int32)
-    yi = xy[:, 1].astype(jnp.int32)
+    # round, not floor: keypoints are fractional under the com3 sub-pixel
+    # readout (frontend/superpoint.py), and the SAD patch should sit on
+    # the nearest pixel so the measured disparity corresponds to the
+    # keypoint within +-0.5 px instead of +-1 px
+    xi = jnp.round(xy[:, 0]).astype(jnp.int32)
+    yi = jnp.round(xy[:, 1]).astype(jnp.int32)
     K = xi.shape[0]
 
     path = resolve_cost_path(cfg, K, H, W)

@@ -39,6 +39,14 @@ def main():
         help="learned-frontend extraction octaves (pyramid)",
     )
     ap.add_argument(
+        "--min-inlier-ratio", type=float, default=None,
+        help="override StereoConfig.min_inlier_ratio (-1 auto)",
+    )
+    ap.add_argument(
+        "--subpixel", default=None, choices=["none", "com3"],
+        help="override the checkpoint's sub-pixel readout meta",
+    )
+    ap.add_argument(
         "--refine-radius", type=int, default=0,
         help="post-match SAD refinement radius px (0 = off)",
     )
@@ -106,6 +114,8 @@ def main():
         match_refine_scales=tuple(args.refine_scales),
         pnp_minimal=args.minimal,
     )
+    if args.min_inlier_ratio is not None:
+        cfg = cfg._replace(min_inlier_ratio=args.min_inlier_ratio)
 
     frontends = {}
     if "orb" in args.frontends:
@@ -116,10 +126,14 @@ def main():
             load_learned_frontend,
         )
 
+        sp_overrides = (
+            {"subpixel": args.subpixel} if args.subpixel is not None else {}
+        )
         fe, fparams = load_learned_frontend(
             (H, W), args.weights or DEFAULT_PATH, max_keypoints=1024,
             scales=tuple(args.scales),
             superglue_overrides={"match_threshold": args.match_threshold},
+            **sp_overrides,
         )
         frontends["sp"] = (learned_frontend(fe), fparams)
 
@@ -140,6 +154,11 @@ def main():
             )
             n_ok = int(np.asarray(outs.ok).sum())
             n = len(idx) - 1
+            if os.environ.get("KABL_VERBOSE"):
+                ni = np.asarray(outs.n_inliers)
+                nm = np.asarray(outs.n_matches)
+                print(f"{name} K={K} inliers {list(ni)}")
+                print(f"{name} K={K} matches {list(nm)}")
             ts = np.arange(len(idx)) * 0.1 * K
             est = Trajectory.from_matrices(
                 ts[1:], np.asarray(outs.pose, np.float64)
