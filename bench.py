@@ -139,6 +139,11 @@ def main() -> None:
     # (0.155 vs 0.167 m); training keeps the f32 config default
     ap.add_argument("--sg-softmax", choices=["float32", "bfloat16"],
                     default="bfloat16")
+    ap.add_argument("--sg-attention", choices=["xla", "flash"],
+                    default="xla",
+                    help="SuperGlue attention path: dense einsum+softmax "
+                         "or the fused Pallas flash kernel (bytes-bound "
+                         "candidate; roofline shows HBM 82%%)")
     ap.add_argument("--hypotheses", type=int, default=None,
                     help="PnP-RANSAC hypothesis batch (default 1024, the "
                          "reference's iterationsCount=1000 static batch; "
@@ -290,7 +295,7 @@ def main() -> None:
         # checkpoint meta (stem_stride etc.) drives the model config
         fe, fparams = load_learned_frontend(
             (H, W), path=args.weights, max_keypoints=n_kpts,
-            superglue_overrides={"softmax_dtype": args.sg_softmax},
+            superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
         )
         # sanity gate: a learned front-end that cannot match two adjacent
         # frames would produce a meaningless headline number — fall back
@@ -476,7 +481,7 @@ def main() -> None:
             fe_g, fp_g = load_learned_frontend(
                 (gH, gW), path=args.weights, max_keypoints=512,
                 scales=tuple(scales),
-                superglue_overrides={"softmax_dtype": args.sg_softmax},
+                superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
             )
             cfg_g = cfg._replace(
                 sgm=SgmConfig(num_disparities=48),
@@ -528,7 +533,7 @@ def main() -> None:
             fe_wb, fp_wb = load_learned_frontend(
                 (H, W), path=args.weights, max_keypoints=n_kpts,
                 scales=(1.0, 0.707, 0.5),
-                superglue_overrides={"softmax_dtype": args.sg_softmax},
+                superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
             )
             cfg_wb = cfg._replace(
                 match_refine_radius=24,
@@ -638,7 +643,7 @@ def main() -> None:
             if os.path.exists(PLAIN_WB_PATH):
                 fe_p, fp_p = load_learned_frontend(
                     (H, W), path=PLAIN_WB_PATH, max_keypoints=n_kpts,
-                    superglue_overrides={"softmax_dtype": args.sg_softmax},
+                    superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
                 )
                 cfg_plain = cfg._replace(match_refine_radius=0)
                 vo_gate("plain_k10", il10, ir10, T10, cfg_plain, fe_p, fp_p,
