@@ -66,6 +66,12 @@ def _add_common(p, stereo: bool):
     p.add_argument("--viewer-out", default=None, metavar="HTML",
                    help="write an interactive 3D viewer (trajectory + map "
                         "when available — the RViz-surface equivalent)")
+    p.add_argument("--essential-minimal", choices=["8pt", "5pt"],
+                   default="8pt",
+                   help="mono essential minimal solver: linear 8-point "
+                        "(fast) or Nister 5-point (the reference's "
+                        "cv2.findEssentialMat semantics; survives "
+                        "planar-dominant scenes)")
     p.add_argument("--viewer-follow", action="store_true",
                    help="follow mode (the live-RViz equivalent): run the "
                         "streaming scan runner and regenerate --viewer-out "
@@ -255,7 +261,8 @@ def cmd_mono(args) -> int:
 
     images, timestamps, cam = _get_mono_inputs(args)
     (images,) = _apply_blur(args, images)
-    cfg = MonoConfig(compose_mode=args.compose_mode)
+    cfg = MonoConfig(compose_mode=args.compose_mode,
+                     minimal=args.essential_minimal)
     frontend, fparams = _build_frontend(args, cfg.orb, images.shape[1:])
     traj, outs = run_mono_vo(
         images, timestamps, cam, cfg, seed=args.seed,
