@@ -139,11 +139,13 @@ def main() -> None:
     # (0.155 vs 0.167 m); training keeps the f32 config default
     ap.add_argument("--sg-softmax", choices=["float32", "bfloat16"],
                     default="bfloat16")
-    ap.add_argument("--sg-attention", choices=["xla", "flash"],
-                    default="xla",
-                    help="SuperGlue attention path: dense einsum+softmax "
-                         "or the fused Pallas flash kernel (bytes-bound "
-                         "candidate; roofline shows HBM 82%%)")
+    ap.add_argument("--sg-attention",
+                    choices=["auto", "xla", "fused", "flash"],
+                    default="auto",
+                    help="SuperGlue attention path: dense einsum+softmax, "
+                         "the own fused VMEM kernel "
+                         "(frontend/pallas_attention.py), or the stock "
+                         "Pallas flash op (measured mis-tiled here)")
     ap.add_argument("--hypotheses", type=int, default=None,
                     help="PnP-RANSAC hypothesis batch (default 1024, the "
                          "reference's iterationsCount=1000 static batch; "

@@ -46,7 +46,7 @@ def _sinkhorn_pallas_ok(cfg, K0: int, K1: int) -> bool:
 
 
 def _flash_ok(cfg, K: int, S: int, dh: int) -> bool:
-    """Fused attention applies: explicitly requested + TPU + aligned shapes."""
+    """Stock flash-attention applies: explicitly requested + aligned shapes."""
     if cfg.attention_impl != "flash":
         return False
     return (
@@ -57,6 +57,20 @@ def _flash_ok(cfg, K: int, S: int, dh: int) -> bool:
     )
 
 
+def _fused_ok(cfg, K: int, S: int, dh: int) -> bool:
+    """Own fused VMEM kernel applies (frontend/pallas_attention.py)."""
+    impl = cfg.attention_impl
+    if impl == "fused_interpret":
+        return True
+    if impl not in ("fused", "auto"):
+        return False
+    from forest_slam_tpu.frontend.pallas_attention import fused_ok
+
+    if impl == "fused":
+        return fused_ok(K, S, dh)
+    return tpu_backend() and fused_ok(K, S, dh)
+
+
 class SuperGlueConfig(NamedTuple):
     descriptor_dim: int = 256
     keypoint_encoder_dims: tuple = (32, 64, 128, 256)
@@ -65,13 +79,18 @@ class SuperGlueConfig(NamedTuple):
     sinkhorn_iterations: int = 20  # stereo_slam.py:75
     match_threshold: float = 0.2  # stereo_slam.py:76
     dtype: type = jnp.bfloat16
-    # "xla" (default): dense einsum+softmax attention. "flash": the fused
-    # Pallas flash-attention kernel on TPU when shapes allow (K % 128 == 0).
-    # Measured on v5e at B=48, K=1024, h=4: xla 2.53 ms/pair, flash
-    # 5.55 ms/pair — at these sizes the (K, K) logits tile pipelines fine
-    # through HBM and the flash grid overhead dominates, so the dense path
-    # stays the default; flash is kept for longer keypoint sets.
-    attention_impl: str = "xla"
+    # "xla" (default): dense einsum+softmax attention. "fused": own
+    # VMEM-resident kernel (pallas_attention.py) — one program per
+    # (batch, head) computes logits+softmax+PV fully on-chip, ~12x fewer
+    # HBM bytes than the dense path's materialized (B, h, K, S) logits
+    # (the pipeline's binding resource, BASELINE.md round-3 roofline).
+    # "fused_interpret" runs it interpreted (tests). "flash": the STOCK
+    # Pallas flash-attention op — measured mis-tiled for these small
+    # heads (94.8 pairs/s vs 175.1 dense at B=48, K=1024, h=4); kept for
+    # comparison. "auto" (default): fused on TPU when shapes allow —
+    # measured 175.1 -> 195.3 pairs/s on the full bench — else xla
+    # (CPU tests/training and unaligned shapes fall back transparently).
+    attention_impl: str = "auto"
     # Attention softmax dtype on the xla path. The f32 (B, h, K, K) logits
     # round-trip is the dominant HBM traffic of the GNN; "bfloat16" halves
     # it at ~1e-2 relative error on the attention weights (99.2% identical
@@ -133,7 +152,21 @@ class Attention(nn.Module):
         q = q.reshape(B, K, h, dh)
         k = k.reshape(B, S, h, dh)
         v = v.reshape(B, S, h, dh)
-        if _flash_ok(cfg, K, S, dh):
+        if _fused_ok(cfg, K, S, dh):
+            from forest_slam_tpu.frontend.pallas_attention import (
+                fused_attention,
+            )
+
+            msg = fused_attention(
+                q.transpose(0, 2, 1, 3),  # (B, h, K, dh)
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                source_mask,
+                scale=1.0 / dh ** 0.5,
+                interpret=cfg.attention_impl == "fused_interpret",
+            ).transpose(0, 2, 1, 3)
+            msg = msg.astype(dt)
+        elif _flash_ok(cfg, K, S, dh):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
                 flash_attention,

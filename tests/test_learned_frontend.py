@@ -206,3 +206,44 @@ def test_subpixel_meta_and_com3_readout(tmp_path):
         jnp.asarray(heat), jnp.array([[10.0, 7.0]]), jnp.array([False])
     )
     np.testing.assert_allclose(np.asarray(out2), [[10.0, 7.0]])
+
+
+def test_fused_attention_matches_dense(rng):
+    """frontend/pallas_attention.py (interpret) vs the dense softmax path —
+    same masked attention output within bf16-PV tolerance."""
+    from forest_slam_tpu.frontend.pallas_attention import fused_attention
+
+    B, h, K, S, dh = 2, 4, 128, 128, 64
+    q = jnp.asarray(rng.normal(size=(B, h, K, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, h, S, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, h, S, dh)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, S)) > 0.3)
+
+    out = fused_attention(q, k, v, mask, scale=0.125, interpret=True)
+    logits = jnp.einsum("bhkd,bhsd->bhks", q, k) * 0.125
+    logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    ref = jnp.einsum(
+        "bhks,bhsd->bhkd", jax.nn.softmax(logits, axis=-1), v
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    # end-to-end through the matcher: fused_interpret == xla matches
+    from forest_slam_tpu.frontend.superglue import SuperGlue
+
+    cfg_x = SuperGlueConfig(gnn_layers=2, sinkhorn_iterations=5,
+                            attention_impl="xla")
+    cfg_f = cfg_x._replace(attention_impl="fused_interpret")
+    sg_x, sg_f = SuperGlue(cfg_x), SuperGlue(cfg_f)
+    M = 128
+    xy0 = jnp.asarray(rng.uniform(0, 100, (1, M, 2)), jnp.float32)
+    xy1 = xy0 + 1.0
+    sc = jnp.ones((1, M))
+    d0 = jnp.asarray(rng.normal(size=(1, M, 256)), jnp.float32)
+    d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+    valid = jnp.asarray(rng.random((1, M)) > 0.2)
+    params = sg_x.init(jax.random.PRNGKey(0), xy0, sc, d0, valid,
+                       xy1, sc, d0, valid, (120, 160))
+    rx = sg_x.apply(params, xy0, sc, d0, valid, xy1, sc, d0, valid, (120, 160))
+    rf = sg_f.apply(params, xy0, sc, d0, valid, xy1, sc, d0, valid, (120, 160))
+    agree = np.mean(np.asarray(rx.matches0) == np.asarray(rf.matches0))
+    assert agree > 0.98, f"only {agree:.3f} of matches agree"
