@@ -156,6 +156,10 @@ def main() -> None:
                     help="post-match SAD refinement radius px; -1 = auto "
                     "(on for the learned path — its detections need the "
                     "sub-pixel alignment — off for ORB)")
+    ap.add_argument("--no-device-time", action="store_true",
+                    help="skip the in-jit device-time cross-check (the "
+                    "scan-repetition probe that is immune to tunnel "
+                    "host-sync jitter)")
     args = ap.parse_args()
 
     # tier preset -> (weights, refine radius); explicit flags win
@@ -382,6 +386,26 @@ def main() -> None:
         outs = run()
         times.append(time.time() - t0)
         log(f"# timed run {rep}: {times[-1]:.2f}s")
+    # jitter self-diagnosis (VERDICT r3 weak #3): the tunneled TPU's
+    # host-sync jitter can swing single sessions +-30%; when the 3-run
+    # spread exceeds 10% of the median, rerun three more times so a
+    # one-off stall cannot set the headline, and flag the artifact if the
+    # spread stays wide so the next reader knows to distrust the wall
+    # clock (the in-jit device-time cross-check below is jitter-immune).
+    def spread(ts):
+        return (max(ts) - min(ts)) / float(np.median(ts))
+
+    if spread(times) > 0.10:
+        log(f"# run spread {spread(times):.1%} > 10%; rerunning 3 more")
+        for rep in range(3, 6):
+            t0 = time.time()
+            outs = run()
+            times.append(time.time() - t0)
+            log(f"# timed run {rep}: {times[-1]:.2f}s")
+    run_spread = round(spread(times), 4)
+    jitter_suspect = run_spread > 0.10
+    if jitter_suspect:
+        log(f"# JITTER SUSPECT: final spread {run_spread:.1%} > 10%")
     elapsed = float(np.median(times))
     if args.profile:
         jax.profiler.stop_trace()
@@ -428,6 +452,107 @@ def main() -> None:
         )
     except Exception:
         log("# roofline accounting failed:\n" + traceback.format_exc())
+
+    # ---- in-jit device-time cross-check (VERDICT r3 weak #3) -------------
+    # The wall-clock headline above includes tunnel host-sync overhead that
+    # varies +-30% across sessions. This probe times each hot phase by
+    # repeating it inside ONE jitted lax.scan and fetching a scalar once
+    # (the only honest device-side timing mode here: block_until_ready is a
+    # no-op on the tunneled platform), giving a jitter-immune pairs/s
+    # figure to read next to the wall-clock one. A tiny output-dependent
+    # perturbation threads through the scan carry so XLA cannot hoist the
+    # body.
+    device_pps = None
+    if not args.no_device_time:
+        try:
+            from forest_slam_tpu.pipelines.stereo import (
+                _FrameSlab,
+                _extract_chunk,
+                _pair_chunk,
+                _tree_slice_pad,
+            )
+
+            fc, pc = args.frame_chunk, args.pair_chunk
+            fidx = jnp.asarray(frame_idx)
+
+            def timed_scan(fn, ops, reps=8):
+                @jax.jit
+                def runf(ops):
+                    def body(c, _):
+                        perturbed = jax.tree.map(
+                            lambda a: a + c.astype(a.dtype)
+                            if jnp.issubdtype(a.dtype, jnp.floating)
+                            else a,
+                            ops,
+                        )
+                        out = fn(perturbed)
+                        leaf = jax.tree.leaves(out)[0]
+                        c2 = (1e-30 * jnp.sum(leaf.astype(jnp.float32)))
+                        return c2.astype(jnp.float32), None
+
+                    c, _ = jax.lax.scan(
+                        body, jnp.float32(0.0), None, length=reps
+                    )
+                    return c
+
+                float(np.asarray(runf(ops)))  # compile + warm
+                t0 = time.time()
+                float(np.asarray(runf(ops)))
+                return (time.time() - t0) / reps
+
+            sl0 = images_l[_tree_slice_pad(fidx, 0, fc)]
+            sr0 = images_r[_tree_slice_pad(fidx, 0, fc)]
+            t_ex = timed_scan(
+                lambda ops: _extract_chunk(
+                    ops[0], ops[1], rig, cfg, frontend, fparams
+                ),
+                (sl0, sr0),
+            )
+            need = pc + 1
+            slabs_p = []
+            for s in range(0, need, fc):
+                idx = _tree_slice_pad(fidx, s, fc)
+                out = _extract_chunk(
+                    images_l[idx], images_r[idx], rig, cfg, frontend, fparams
+                )
+                slabs_p.append(_FrameSlab(*out))
+            slab_p = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs)[:need], *slabs_p
+            )
+            prev_p = jax.tree.map(lambda a: a[:pc], slab_p)
+            cur_p = jax.tree.map(lambda a: a[1 : pc + 1], slab_p.feats)
+            keys_p = jax.random.split(jax.random.PRNGKey(1), pc)
+            if cfg.match_refine_radius > 0:
+                ops = (
+                    prev_p, cur_p, keys_p,
+                    images_l[_tree_slice_pad(fidx, 0, pc)],
+                    images_l[_tree_slice_pad(fidx, 1, pc)],
+                )
+                t_pr = timed_scan(
+                    lambda o: _pair_chunk(
+                        o[0], o[1], o[2], rig, cfg, frontend, fparams,
+                        (H, W), o[3], o[4],
+                    ),
+                    ops,
+                )
+            else:
+                t_pr = timed_scan(
+                    lambda o: _pair_chunk(
+                        o[0], o[1], o[2], rig, cfg, frontend, fparams, (H, W)
+                    ),
+                    (prev_p, cur_p, keys_p),
+                )
+            n_fc = -(-n_frames // fc)
+            n_pc = -(-(n_frames - 1) // pc)
+            dev_total = n_fc * t_ex + n_pc * t_pr
+            device_pps = round((n_frames - 1) / dev_total, 2)
+            log(
+                f"# device-time cross-check: extract {t_ex*1e3:.1f} ms/chunk,"
+                f" pair {t_pr*1e3:.1f} ms/chunk -> {dev_total:.2f}s/run, "
+                f"{device_pps:.1f} pairs/s (wall: {pairs_per_sec:.1f})"
+            )
+        except Exception:
+            log("# device-time cross-check failed:\n" + traceback.format_exc())
 
     # ---- accuracy pass (on by default; never blocks the JSON line) -------
     ate_rmse = None
@@ -651,21 +776,58 @@ def main() -> None:
                 vo_gate("plain_k10", il10, ir10, T10, cfg_plain, fe_p, fp_p,
                         min_ok=14, max_ate=0.15)
 
-            blur_cfg = BlurConfig(
-                blur_percentage=50.0, kernel_size=15, angle_deg=45.0
-            )
-            bl = corrupt_stack(images_l[:24], jax.random.PRNGKey(7), blur_cfg)
-            br = corrupt_stack(images_r[:24], jax.random.PRNGKey(8), blur_cfg)
-            # bounds lock the measured behavior (21/23 / ATE 0.16 on this
-            # clip with both eyes blurred at 50%) with margin — the gate
-            # exists to catch a robustness COLLAPSE (half the frames lost
-            # or meter-scale ATE), not day-to-day jitter
-            vo_gate("blur50", bl, br, Ts[:24], cfg, fe, fparams,
-                    min_ok=19, max_ate=0.30)
+            if int(images_l.shape[0]) >= 24:
+                blur_cfg = BlurConfig(
+                    blur_percentage=50.0, kernel_size=15, angle_deg=45.0
+                )
+                bl = corrupt_stack(
+                    images_l[:24], jax.random.PRNGKey(7), blur_cfg
+                )
+                br = corrupt_stack(
+                    images_r[:24], jax.random.PRNGKey(8), blur_cfg
+                )
+                vo_gate("blur50", bl, br, Ts[:24], cfg, fe, fparams,
+                        min_ok=21, max_ate=0.08)
+            else:
+                # the gate is defined on a 24-frame clip; with fewer
+                # rendered frames (--frames < 24) min_ok would exceed the
+                # pair count and record a spurious failure (ADVICE r3)
+                log("# blur50 gate skipped: clip shorter than 24 frames")
             if gate_failures:
                 log("# GATE FAILURES: " + "; ".join(gate_failures))
         except Exception:
             log("# thesis gates failed:\n" + traceback.format_exc())
+
+    # ---- drift vs the previous round's artifact (VERDICT r3 weak #7) -----
+    # Gate thresholds are deliberately loose collapse detectors; this
+    # non-fatal dict makes a silent regression visible by printing the
+    # previous round's numbers next to this run's. A >=2x gate-ATE drift
+    # gets a warning line (still non-fatal).
+    drift = None
+    try:
+        import glob
+
+        prior = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if prior:
+            with open(prior[-1]) as f:
+                prev_rec = json.load(f)
+            if isinstance(prev_rec, dict) and "parsed" in prev_rec:
+                prev_rec = prev_rec["parsed"] or {}
+            keys = ["value", "ate_rmse"] + [
+                k for k in gates if k.endswith("_ate") or k.endswith("_ok")
+            ]
+            drift = {"vs": os.path.basename(prior[-1])}
+            cur_all = {"value": round(float(pairs_per_sec), 2),
+                       "ate_rmse": ate_rmse, **gates}
+            for k in keys:
+                p, c = prev_rec.get(k), cur_all.get(k)
+                if p is None or c is None:
+                    continue
+                drift[k] = [p, c]
+                if k.endswith("_ate") and p > 0 and c > 2.0 * p:
+                    log(f"# DRIFT WARNING: {k} {p} -> {c} (>=2x)")
+    except Exception:
+        log("# drift tracking failed:\n" + traceback.format_exc())
 
     emit(
         pairs_per_sec,
@@ -683,6 +845,10 @@ def main() -> None:
         lowres_n_frames=lowres_n,
         lowres_ate_rmse=lowres_ate,
         runs_s=[round(t, 3) for t in times],
+        run_spread=run_spread,
+        jitter_suspect=jitter_suspect,
+        device_pairs_per_sec=device_pps,
+        drift=drift,
     )
 
 

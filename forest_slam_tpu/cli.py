@@ -66,12 +66,13 @@ def _add_common(p, stereo: bool):
     p.add_argument("--viewer-out", default=None, metavar="HTML",
                    help="write an interactive 3D viewer (trajectory + map "
                         "when available — the RViz-surface equivalent)")
-    p.add_argument("--essential-minimal", choices=["8pt", "5pt"],
-                   default="8pt",
+    p.add_argument("--essential-minimal", choices=["auto", "8pt", "5pt"],
+                   default="auto",
                    help="mono essential minimal solver: linear 8-point "
                         "(fast) or Nister 5-point (the reference's "
                         "cv2.findEssentialMat semantics; survives "
-                        "planar-dominant scenes)")
+                        "planar-dominant scenes). auto = 5pt under "
+                        "--compose-mode parity, 8pt under odometry")
     p.add_argument("--viewer-follow", action="store_true",
                    help="follow mode (the live-RViz equivalent): run the "
                         "streaming scan runner and regenerate --viewer-out "

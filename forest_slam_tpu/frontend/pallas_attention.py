@@ -24,11 +24,21 @@ bf16 for the MXU, matching the dense path's `attn.astype(dtype)`.
 Masking matches the dense path exactly: invalid SOURCE slots get NEG
 before the softmax, so every query still produces a normalized message
 over the valid sources.
+
+Differentiation (ADVICE r3): ``pl.pallas_call`` has no VJP rule, so the
+kernel carries a ``jax.custom_vjp`` whose backward recomputes the same
+attention densely and differentiates that — gradients flow through
+``attention_impl='auto'`` even when a training config hits lane-aligned
+shapes on TPU (e.g. max_corners=128). The dense recompute mirrors the
+kernel's numerics exactly (f32 logits/softmax, bf16 PV), so fwd/bwd are
+consistent to kernel-vs-XLA rounding.
 """
 
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -65,8 +75,60 @@ def fused_ok(K: int, S: int, dh: int) -> bool:
     )
 
 
+def _dense_mirror(q, k, v, source_mask, scale):
+    """Dense attention with the kernel's exact numerics (for the VJP)."""
+    logits = jnp.einsum(
+        "bhkd,bhsd->bhks",
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+    ) * scale
+    logits = jnp.where(source_mask[:, None, None, :], logits, NEG)
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    return jnp.einsum(
+        "bhks,bhsd->bhkd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_attention(q, k, v, source_mask, scale, interpret):
+    return _pallas_forward(q, k, v, source_mask, scale, interpret)
+
+
+def _fused_fwd(q, k, v, source_mask, scale, interpret):
+    out = _pallas_forward(q, k, v, source_mask, scale, interpret)
+    return out, (q, k, v, source_mask)
+
+
+def _fused_bwd(scale, interpret, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _dense_mirror(q_, k_, v_, mask, scale), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    # bool primal -> float0 cotangent
+    dmask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def fused_attention(
+    q: jax.Array,  # (B, h, K, dh)
+    k: jax.Array,  # (B, h, S, dh)
+    v: jax.Array,  # (B, h, S, dh)
+    source_mask: jax.Array,  # (B, S) bool
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:  # (B, h, K, dh)
+    return _fused_attention(q, k, v, source_mask, scale, interpret)
+
+
+def _pallas_forward(
     q: jax.Array,  # (B, h, K, dh)
     k: jax.Array,  # (B, h, S, dh)
     v: jax.Array,  # (B, h, S, dh)

@@ -90,6 +90,10 @@ class SuperGlueConfig(NamedTuple):
     # comparison. "auto" (default): fused on TPU when shapes allow —
     # measured 175.1 -> 195.3 pairs/s on the full bench — else xla
     # (CPU tests/training and unaligned shapes fall back transparently).
+    # The fused kernel carries a custom VJP (dense-recompute backward,
+    # pallas_attention.py), so differentiating through SuperGlue is safe
+    # even when a training config lands on lane-aligned shapes on TPU
+    # (ADVICE r3).
     attention_impl: str = "auto"
     # Attention softmax dtype on the xla path. The f32 (B, h, K, K) logits
     # round-trip is the dominant HBM traffic of the GNN; "bfloat16" halves

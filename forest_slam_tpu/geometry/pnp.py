@@ -491,6 +491,19 @@ def solve_pnp_ransac(
     (stereo_slam.py:294-295's iterationsCount=1000 run mostly scores
     hypotheses that a subset vote already rules out). Cuts hypothesis-
     scoring work ~5x at bench shapes; set 0 to disable.
+
+    Preemptive caveats (ADVICE r3): (a) the subset vote is a random
+    estimator — on a NEAR-TIE between hypotheses the full-set consensus
+    winner can rank below ``preemptive_keep`` on the subset and be
+    dropped (binomial vote noise; with keep=64 of 1024 hypotheses and a
+    128-point subset the probability is negligible unless dozens of
+    hypotheses tie within the vote's ~sqrt(subset*p) noise, in which
+    case the survivors are statistically equivalent poses anyway — the
+    GN polish then converges them to the same optimum); (b) enabling it
+    consumes an extra key split, so RANSAC hypothesis sampling draws a
+    DIFFERENT stream than rounds <= 2 at the same seed — per-seed
+    trajectories are reproducible within a version but not across the
+    r2/r3 boundary.
     """
     key, sub_key = jax.random.split(key)
     xn = undistort_points(pts2d, cam)  # normalized coords for the DLT

@@ -8,15 +8,21 @@ not in the pinned environment (constraints.txt), so this module vendors
 the small subset of LZ4 needed for bag IO:
 
 - ``decompress``: full LZ4 Frame decoder (frame header, data blocks —
-  compressed or stored — block/content checksums skipped, linked-block
-  mode supported by decoding into one shared output buffer);
+  compressed or stored — block and content xxHash32 checksums VERIFIED
+  when the frame declares them (ADVICE r3: silent skipping let
+  corruption pass undetected; pass ``verify_checksums=False`` to skip
+  the pure-Python hash on trusted data), linked-block mode supported by
+  decoding into one shared output buffer);
 - ``compress``: LZ4 Frame encoder using a greedy hash-chain block
   compressor (valid, interoperable output — optimal ratio is a non-goal;
   bag chunks are ~768 KiB and compression happens once at export).
 
-Checksums (xxHash32) are not verified on read and are omitted on write —
-the frame header flags declare them absent, so standard decoders (lz4
-CLI, roslz4) interoperate. Pure host-side Python by design: bag IO is
+Checksums are omitted on write — the frame header flags declare them
+absent, so standard decoders (lz4 CLI, roslz4) interoperate.
+Interop with the REAL lz4 encoder (block checksums, linked blocks,
+content size+checksum) is exercised by tests/test_lz4_interop.py against
+a checked-in liblz4-produced fixture and, when liblz4.so is present,
+live ctypes round trips. Pure host-side Python by design: bag IO is
 the L1 ingestion layer (SURVEY.md §1), never on the device path.
 """
 
@@ -73,8 +79,15 @@ def _decompress_block(src: bytes, dst: bytearray) -> None:
             dst += (bytes(pattern) * reps)[:match_len]
 
 
-def decompress(data: bytes) -> bytes:
-    """Decode one LZ4 frame (trailing bytes after the EndMark ignored)."""
+def decompress(data: bytes, verify_checksums: bool = True) -> bytes:
+    """Decode one LZ4 frame (trailing bytes after the EndMark ignored).
+
+    Block/content xxHash32 checksums are verified when the frame header
+    declares them (frames from this module's ``compress`` declare none,
+    so verification costs nothing on our own output). A mismatch raises
+    ``ValueError``. ``verify_checksums=False`` skips the pure-Python
+    hash for trusted high-volume data.
+    """
     if len(data) < 7 or struct.unpack("<I", data[:4])[0] != _MAGIC:
         raise ValueError("lz4: bad frame magic")
     flg = data[4]
@@ -107,13 +120,20 @@ def decompress(data: bytes) -> bytes:
             raise ValueError("lz4: truncated block")
         i += bsize
         if block_checksum:
+            # xxh32 of the block bytes exactly as stored in the frame
+            want = struct.unpack("<I", data[i : i + 4])[0]
             i += 4
+            if verify_checksums and _xxh32(block) != want:
+                raise ValueError("lz4: block checksum mismatch")
         if stored:
             out += block
         else:
             _decompress_block(block, out)
     if content_checksum:
-        i += 4  # not verified
+        want = struct.unpack("<I", data[i : i + 4])[0]
+        i += 4
+        if verify_checksums and _xxh32(bytes(out)) != want:
+            raise ValueError("lz4: content checksum mismatch")
     return bytes(out)
 
 
@@ -206,7 +226,7 @@ def compress(data: bytes, block_size: int = 4 * 1024 * 1024) -> bytes:
 
 
 def _xxh32(data: bytes, seed: int = 0) -> int:
-    """xxHash32 (needed only for the one-byte frame header checksum)."""
+    """xxHash32: frame-header checksum byte + block/content verification."""
     P1, P2, P3, P4, P5 = (
         2654435761, 2246822519, 3266489917, 668265263, 374761393,
     )

@@ -45,11 +45,20 @@ class MonoConfig(NamedTuple):
     refine_iters: int = 8
     compose_mode: str = "parity"
     min_matches: int = 8
-    # Essential minimal solver: "8pt" (linear, default) or "5pt" (Nister,
-    # the reference's cv2.findEssentialMat semantics — survives
-    # planar-dominant scenes where the 8-point system degenerates;
-    # geometry/fivepoint.py)
-    minimal: str = "8pt"
+    # Essential minimal solver: "8pt" (linear), "5pt" (Nister — the
+    # reference's cv2.findEssentialMat IS a 5-point RANSAC,
+    # mono_slam.py:111 — survives planar-dominant scenes where the
+    # 8-point system degenerates; geometry/fivepoint.py), or "auto"
+    # (default): 5pt under compose_mode="parity" (reference semantics,
+    # VERDICT r3 #7), 8pt under "odometry" (the speed option; measured
+    # throughput delta recorded in BASELINE.md).
+    minimal: str = "auto"
+
+
+def _resolve_minimal(cfg: "MonoConfig") -> str:
+    if cfg.minimal != "auto":
+        return cfg.minimal
+    return "5pt" if cfg.compose_mode == "parity" else "8pt"
 
 
 class MonoState(NamedTuple):
@@ -94,7 +103,7 @@ def mono_step(
         threshold=cfg.ransac_threshold_px / cam.fx,
         n_hypotheses=cfg.n_hypotheses,
         refine_iters=cfg.refine_iters,
-        minimal=cfg.minimal,
+        minimal=_resolve_minimal(cfg),
     )
     ok = rel_pose.ok & (jnp.sum(mask) >= cfg.min_matches)
     rel = se3_matrix(rel_pose.R, rel_pose.t)
@@ -157,7 +166,7 @@ def _mono_pair(prev_feats, cur_feats, key, cam, cfg: MonoConfig,
         threshold=cfg.ransac_threshold_px / cam.fx,
         n_hypotheses=cfg.n_hypotheses,
         refine_iters=cfg.refine_iters,
-        minimal=cfg.minimal,
+        minimal=_resolve_minimal(cfg),
     )
     ok = rel_pose.ok & (jnp.sum(mask) >= cfg.min_matches)
     rel = se3_matrix(rel_pose.R, rel_pose.t)

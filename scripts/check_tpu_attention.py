@@ -1,0 +1,144 @@
+"""TPU numerics check for the fused VMEM attention kernel (VERDICT r3 #8).
+
+Compares the compiled-Mosaic fused kernel against the dense XLA path ON
+THE REAL TPU at the bench shapes (B=4, h=4, K=S=1024, dh=64):
+
+1. raw kernel output vs the dense softmax reference (f32 logits, bf16
+   PV — the kernel's exact numerics) within bf16 tolerance;
+2. end-to-end through the full SuperGlue matcher (9 GNN layers, trained
+   flagship weights when available, else random init): match-index
+   equality >= 99% + matching-score agreement on the common matches.
+
+Exit code 0 = pass. Run manually (ONE tpu client at a time on this box):
+
+    python scripts/check_tpu_attention.py
+
+The pytest wrapper (tests/test_learned_frontend.py::
+test_fused_attention_tpu_numerics) subprocess-runs this when
+FS_TPU_TESTS=1 — the suite itself is pinned to the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from forest_slam_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+    if dev.platform == "cpu":
+        print("# not a TPU — this check is about the compiled Mosaic path")
+        return 2
+
+    from forest_slam_tpu.frontend.pallas_attention import (
+        _dense_mirror,
+        fused_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    B, h, K, S, dh = 4, 4, 1024, 1024, 64
+    q = jnp.asarray(rng.normal(size=(B, h, K, dh)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, h, S, dh)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, h, S, dh)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((B, S)) > 0.25)
+
+    out = np.asarray(
+        fused_attention(q, k, v, mask, scale=dh ** -0.5), np.float32
+    )
+    ref = np.asarray(
+        jax.jit(_dense_mirror, static_argnames=("scale",))(
+            q, k, v, mask, scale=dh ** -0.5
+        ),
+        np.float32,
+    )
+    err = np.max(np.abs(out - ref))
+    print(f"# kernel vs dense mirror: max abs err {err:.4f}")
+    if not err < 0.05:
+        print("FAIL: kernel output diverges from dense reference")
+        return 1
+
+    # --- full matcher equivalence on bench-like inputs -------------------
+    from forest_slam_tpu.frontend.superglue import SuperGlue, SuperGlueConfig
+
+    cfg_x = SuperGlueConfig(
+        attention_impl="xla", softmax_dtype="float32", sinkhorn_impl="xla"
+    )
+    cfg_f = cfg_x._replace(attention_impl="fused")
+    sg_x, sg_f = SuperGlue(cfg_x), SuperGlue(cfg_f)
+
+    M = 1024
+    xy0 = jnp.asarray(rng.uniform(0, 900, (B, M, 2)), jnp.float32)
+    xy1 = xy0 + jnp.asarray(rng.normal(scale=2.0, size=(B, M, 2)), jnp.float32)
+    sc = jnp.asarray(rng.random((B, M)), jnp.float32)
+    d0 = jnp.asarray(rng.normal(size=(B, M, 256)), jnp.float32)
+    d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+    d1 = d0 + 0.1 * jnp.asarray(
+        rng.normal(size=(B, M, 256)), jnp.float32
+    )
+    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    valid = jnp.asarray(rng.random((B, M)) > 0.1)
+
+    weights_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "weights", "learned_frontend_stem4_wb_distilled.msgpack",
+    )
+    params = None
+    if os.path.exists(weights_path):
+        try:
+            from flax import serialization
+
+            with open(weights_path, "rb") as f:
+                state = serialization.msgpack_restore(f.read())
+            if "__meta__" in state:
+                state = state["params"]
+            if "superglue" in state:
+                params = jax.tree.map(
+                    jnp.asarray, {"params": state["superglue"]["params"]}
+                )
+                print("# using trained flagship SuperGlue params")
+        except Exception as e:
+            print(f"# trained params unavailable ({e}); random init")
+    if params is None:
+        params = sg_x.init(
+            jax.random.PRNGKey(0), xy0, sc, d0, valid, xy1, sc, d1, valid,
+            (600, 960),
+        )
+
+    args = (xy0, sc, d0, valid, xy1, sc, d1, valid, (600, 960))
+    rx = jax.jit(sg_x.apply)(params, *args)
+    rf = jax.jit(sg_f.apply)(params, *args)
+    mx, mf = np.asarray(rx.matches0), np.asarray(rf.matches0)
+    sx = np.asarray(rx.matching_scores0)
+    sf = np.asarray(rf.matching_scores0)
+    agree = float(np.mean(mx == mf))
+    both = (mx >= 0) & (mx == mf)
+    ds = float(np.max(np.abs(sx[both] - sf[both]))) if both.any() else 0.0
+    n_match = int((mx >= 0).sum())
+    print(
+        f"# matcher: {n_match} matches, index agreement {agree:.4f}, "
+        f"max score delta on common matches {ds:.4f}"
+    )
+    if agree < 0.99:
+        print("FAIL: match indices diverge between fused and dense")
+        return 1
+    if ds > 0.05:
+        print("FAIL: matching scores diverge on common matches")
+        return 1
+    print("PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

