@@ -146,6 +146,11 @@ def main() -> None:
                          "the own fused VMEM kernel "
                          "(frontend/pallas_attention.py), or the stock "
                          "Pallas flash op (measured mis-tiled here)")
+    ap.add_argument("--sg-gnn", choices=["auto", "xla", "fused"],
+                    default="auto",
+                    help="whole-GNN-layer fusion (frontend/pallas_gnn.py):"
+                         " every self/cross layer as one VMEM-resident "
+                         "kernel; auto = on for TPU inference shapes")
     ap.add_argument("--hypotheses", type=int, default=None,
                     help="PnP-RANSAC hypothesis batch (default 1024, the "
                          "reference's iterationsCount=1000 static batch; "
@@ -160,6 +165,17 @@ def main() -> None:
                     help="skip the in-jit device-time cross-check (the "
                     "scan-repetition probe that is immune to tunnel "
                     "host-sync jitter)")
+    # round 4: once the fused kernels cut device time to ~3 s/run, the
+    # chunked runner's ~52 host dispatches (+ tunnel sync) dominated the
+    # wall clock (measured 5.9 s wall vs 2.9 s device). The device runner
+    # executes the WHOLE virtual sequence as one jitted program
+    # (pipelines/stereo.py run_stereo_vo_device: lax.map phases + one
+    # associative-scan chain) — one dispatch per timed run.
+    ap.add_argument("--runner", choices=["device", "chunked"],
+                    default="device",
+                    help="'device': whole run in one jit (default); "
+                         "'chunked': per-chunk host loop (the streaming "
+                         "form)")
     args = ap.parse_args()
 
     # tier preset -> (weights, refine radius); explicit flags win
@@ -301,7 +317,7 @@ def main() -> None:
         # checkpoint meta (stem_stride etc.) drives the model config
         fe, fparams = load_learned_frontend(
             (H, W), path=args.weights, max_keypoints=n_kpts,
-            superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
+            superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention, "gnn_impl": args.sg_gnn},
         )
         # sanity gate: a learned front-end that cannot match two adjacent
         # frames would produce a meaningless headline number — fall back
@@ -346,28 +362,53 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
 
-    def run():
-        outs = run_stereo_vo_batched(
-            images_l,
-            images_r,
-            rig,
-            cfg,
-            key,
-            frontend,
-            fparams,
-            frame_chunk=args.frame_chunk,
-            pair_chunk=args.pair_chunk,
-            frame_indices=frame_idx,
-        )
-        # jax.block_until_ready is a NO-OP on the tunneled axon platform
-        # (measured: a 75 s matmul chain "blocks" in 0 ms; only a host
-        # fetch waits for completion). Force real completion of every
-        # output branch with host fetches — without this the timed run
-        # measures dispatch, not compute.
-        np.asarray(outs.pose)
-        np.asarray(outs.ok)
-        float(jnp.sum(outs.map_points))
-        return outs
+    if args.runner == "device":
+        from forest_slam_tpu.pipelines.stereo import run_stereo_vo_device
+
+        # images/params stay ARGUMENTS (closing a jitted fn over concrete
+        # device arrays drops the process out of fast dispatch — see the
+        # render_chunk note above); rig/cfg/frontend are static pytrees
+        # of host scalars/callables.
+        fidx_dev = jnp.asarray(frame_idx)
+
+        @jax.jit
+        def _run_device(il, ir, idx, fp, k):
+            return run_stereo_vo_device(
+                il[idx], ir[idx], rig, cfg, k, frontend, fp,
+                frame_batch=args.frame_chunk, pair_batch=args.pair_chunk,
+            )
+
+        def run():
+            outs = _run_device(images_l, images_r, fidx_dev, fparams, key)
+            np.asarray(outs.pose)
+            np.asarray(outs.ok)
+            float(jnp.sum(outs.map_points))
+            return outs
+
+    else:
+
+        def run():
+            outs = run_stereo_vo_batched(
+                images_l,
+                images_r,
+                rig,
+                cfg,
+                key,
+                frontend,
+                fparams,
+                frame_chunk=args.frame_chunk,
+                pair_chunk=args.pair_chunk,
+                frame_indices=frame_idx,
+            )
+            # jax.block_until_ready is a NO-OP on the tunneled axon
+            # platform (measured: a 75 s matmul chain "blocks" in 0 ms;
+            # only a host fetch waits for completion). Force real
+            # completion of every output branch with host fetches —
+            # without this the timed run measures dispatch, not compute.
+            np.asarray(outs.pose)
+            np.asarray(outs.ok)
+            float(jnp.sum(outs.map_points))
+            return outs
 
     # ---- compile, then time ---------------------------------------------
     t0 = time.time()
@@ -608,7 +649,7 @@ def main() -> None:
             fe_g, fp_g = load_learned_frontend(
                 (gH, gW), path=args.weights, max_keypoints=512,
                 scales=tuple(scales),
-                superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
+                superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention, "gnn_impl": args.sg_gnn},
             )
             cfg_g = cfg._replace(
                 sgm=SgmConfig(num_disparities=48),
@@ -660,7 +701,7 @@ def main() -> None:
             fe_wb, fp_wb = load_learned_frontend(
                 (H, W), path=args.weights, max_keypoints=n_kpts,
                 scales=(1.0, 0.707, 0.5),
-                superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
+                superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention, "gnn_impl": args.sg_gnn},
             )
             cfg_wb = cfg._replace(
                 match_refine_radius=24,
@@ -770,7 +811,7 @@ def main() -> None:
             if os.path.exists(PLAIN_WB_PATH):
                 fe_p, fp_p = load_learned_frontend(
                     (H, W), path=PLAIN_WB_PATH, max_keypoints=n_kpts,
-                    superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention},
+                    superglue_overrides={"softmax_dtype": args.sg_softmax, "attention_impl": args.sg_attention, "gnn_impl": args.sg_gnn},
                 )
                 cfg_plain = cfg._replace(match_refine_radius=0)
                 vo_gate("plain_k10", il10, ir10, T10, cfg_plain, fe_p, fp_p,

@@ -27,6 +27,23 @@ from forest_slam_tpu.frontend.superglue import (
 )
 
 
+def _gnn_fused_dispatch(cfg: SuperGlueConfig, K: int, S: int) -> bool:
+    """Whole-layer fused GNN applies (pallas_gnn.py; inference only)."""
+    impl = getattr(cfg, "gnn_impl", "xla")
+    if impl == "fused_interpret":
+        return True
+    if impl not in ("fused", "auto"):
+        return False
+    from forest_slam_tpu.frontend.pallas_gnn import gnn_fused_ok
+
+    ok = gnn_fused_ok(K, S, cfg.descriptor_dim, cfg.num_heads)
+    if impl == "fused":
+        return ok
+    from forest_slam_tpu.utils import tpu_backend
+
+    return tpu_backend() and ok
+
+
 class LearnedFrontendConfig(NamedTuple):
     superpoint: SuperPointConfig = SuperPointConfig()
     superglue: SuperGlueConfig = SuperGlueConfig()
@@ -144,6 +161,19 @@ class LearnedFrontend:
         f1: SuperPointFeatures,
         image_shape: tuple[int, int],
     ) -> MatchResult:
+        cfg = self.cfg.superglue
+        if _gnn_fused_dispatch(cfg, f0.xy.shape[-2], f1.xy.shape[-2]):
+            from forest_slam_tpu.frontend.pallas_gnn import (
+                superglue_forward_fused,
+            )
+
+            return superglue_forward_fused(
+                params["superglue"], cfg,
+                f0.xy, f0.score, f0.desc, f0.valid,
+                f1.xy, f1.score, f1.desc, f1.valid,
+                image_shape,
+                interpret=cfg.gnn_impl == "fused_interpret",
+            )
         return self.superglue.apply(
             params["superglue"],
             f0.xy, f0.score, f0.desc, f0.valid,

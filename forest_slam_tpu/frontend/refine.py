@@ -184,12 +184,16 @@ def _refine_single(
         off = jnp.where(den > 1e-6, jnp.clip((cm - cp) / (2 * den), -0.5, 0.5), 0.0)
         return jnp.where((b >= 1) & (b <= n - 2), off, 0.0)
 
-    col_at_by = jnp.take_along_axis(
-        cost, by[:, None, None].repeat(n, axis=2), axis=1
-    )[:, 0, :]  # (K, n) cost along x at the winning row
-    row_at_bx = jnp.take_along_axis(
-        cost, bx[:, None, None].repeat(n, axis=1), axis=2
-    )[:, :, 0]  # (K, n) cost along y at the winning col
+    # winner-row / winner-column extraction as one-hot contractions: a
+    # take_along_axis row-select here lowers (under the pipeline's
+    # pair-chunk vmap) to a masked full-operand reduction PER OUTPUT
+    # ELEMENT — measured 53 GB of the 58 GB refine byte bill at bench
+    # shapes (stage bisection, round 4). The einsum reads the cost
+    # volume once: 2.5 MB/pair instead of ~1.1 GB/pair.
+    one_by = (oy[None, :] == by[:, None]).astype(cost.dtype)  # (K, n)
+    one_bx = (oy[None, :] == bx[:, None]).astype(cost.dtype)
+    col_at_by = jnp.einsum("kn,knm->km", one_by, cost)
+    row_at_bx = jnp.einsum("km,knm->kn", one_bx, cost)
     sx = subpix(bx, col_at_by)
     sy = subpix(by, row_at_bx)
 

@@ -109,6 +109,17 @@ class SuperGlueConfig(NamedTuple):
     # couplings in HBM. "auto" (default): pallas on TPU when K % 128 == 0.
     # "pallas_interpret" runs the kernel interpreted (tests).
     sinkhorn_impl: str = "auto"
+    # Whole-GNN-layer fusion (pallas_gnn.py): "fused" runs every
+    # self/cross GnnLayer as ONE VMEM-resident kernel (QKV -> attention
+    # -> merge -> MLP -> LayerNorm -> residual, no HBM round trips for
+    # the intermediates — subsumes attention_impl for those layers);
+    # "auto" (default) enables it on TPU for lane-aligned inference
+    # shapes; "xla" disables; "fused_interpret" interprets (tests).
+    # INFERENCE-ONLY: the dispatch lives in LearnedFrontend.
+    # match_features — training (return_couplings) and direct
+    # SuperGlue.apply calls always use the Flax module, where
+    # attention_impl still applies.
+    gnn_impl: str = "auto"
 
 
 class MatchResult(NamedTuple):

@@ -19,6 +19,16 @@ utilization).
 AOT lowering uses abstract ShapeDtypeStruct inputs, so no extra device
 work happens; with the persistent compilation cache the compile step is
 cheap after the bench itself has compiled the same shapes.
+
+CAVEAT (round 4): XLA's cost model does NOT see inside Pallas custom
+calls — it counts only their operand/result bytes and none of their
+FLOPs. With the fused GNN layer (frontend/pallas_gnn.py), fused
+attention, Sinkhorn decode, refine, and sparse-stereo kernels active,
+most of the pipeline's real matmul FLOPs and the kernels' internal HBM
+traffic (e.g. pallas_refine's per-grid-step image DMAs) are invisible
+here — the reported MFU underestimates real MXU work and hbm_frac
+underestimates true traffic. Read both as lower bounds; the in-jit
+device-time cross-check in bench.py is the honest throughput figure.
 """
 
 from __future__ import annotations

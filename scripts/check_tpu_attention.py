@@ -119,22 +119,38 @@ def main() -> int:
     args = (xy0, sc, d0, valid, xy1, sc, d1, valid, (600, 960))
     rx = jax.jit(sg_x.apply)(params, *args)
     rf = jax.jit(sg_f.apply)(params, *args)
-    mx, mf = np.asarray(rx.matches0), np.asarray(rf.matches0)
-    sx = np.asarray(rx.matching_scores0)
-    sf = np.asarray(rf.matching_scores0)
-    agree = float(np.mean(mx == mf))
-    both = (mx >= 0) & (mx == mf)
-    ds = float(np.max(np.abs(sx[both] - sf[both]))) if both.any() else 0.0
-    n_match = int((mx >= 0).sum())
-    print(
-        f"# matcher: {n_match} matches, index agreement {agree:.4f}, "
-        f"max score delta on common matches {ds:.4f}"
-    )
-    if agree < 0.99:
-        print("FAIL: match indices diverge between fused and dense")
-        return 1
-    if ds > 0.05:
-        print("FAIL: matching scores diverge on common matches")
+
+    def compare(tag, ra, rb, min_agree=0.99, max_ds=0.05):
+        ma, mb = np.asarray(ra.matches0), np.asarray(rb.matches0)
+        sa = np.asarray(ra.matching_scores0)
+        sb = np.asarray(rb.matching_scores0)
+        agree = float(np.mean(ma == mb))
+        both = (ma >= 0) & (ma == mb)
+        ds = float(np.max(np.abs(sa[both] - sb[both]))) if both.any() else 0.0
+        n_match = int((ma >= 0).sum())
+        print(
+            f"# {tag}: {n_match} matches, index agreement {agree:.4f}, "
+            f"max score delta on common matches {ds:.4f}"
+        )
+        if agree < min_agree:
+            print(f"FAIL [{tag}]: match indices diverge")
+            return False
+        if ds > max_ds:
+            print(f"FAIL [{tag}]: matching scores diverge on common matches")
+            return False
+        return True
+
+    ok = compare("fused-attention matcher", rx, rf)
+
+    # --- whole-layer fused GNN forward (pallas_gnn.py) -------------------
+    from forest_slam_tpu.frontend.pallas_gnn import superglue_forward_fused
+
+    rg = jax.jit(
+        lambda p, *a: superglue_forward_fused(p, cfg_x, *a)
+    )(params, *args)
+    ok = compare("fused-GNN forward", rx, rg) and ok
+
+    if not ok:
         return 1
     print("PASS")
     return 0

@@ -251,6 +251,70 @@ def test_fused_attention_matches_dense(rng):
     assert agree > 0.98, f"only {agree:.3f} of matches agree"
 
 
+def test_fused_gnn_layer_matches_module(rng):
+    """pallas_gnn.fused_gnn_layer (interpret) vs the Flax GnnLayer —
+    same params, same masked update, bf16-rounding tolerance."""
+    from forest_slam_tpu.frontend.pallas_gnn import (
+        fused_gnn_layer,
+        split_layer_params,
+    )
+    from forest_slam_tpu.frontend.superglue import GnnLayer
+
+    cfg = SuperGlueConfig(gnn_layers=2, sinkhorn_iterations=5)
+    layer = GnnLayer(cfg)
+    B, K, D = 2, 128, cfg.descriptor_dim
+    x = jnp.asarray(rng.normal(size=(B, K, D)), jnp.bfloat16)
+    src = jnp.asarray(rng.normal(size=(B, K, D)), jnp.bfloat16)
+    mask = jnp.asarray(rng.random((B, K)) > 0.3)
+    params = layer.init(jax.random.PRNGKey(0), x, src, mask)
+    ref = layer.apply(params, x, src, mask)
+    ws = split_layer_params(params["params"], cfg.num_heads)
+    out = fused_gnn_layer(x, src, mask, ws, cfg.num_heads, interpret=True)
+    a = np.asarray(ref, np.float32)
+    b = np.asarray(out, np.float32)
+    # bf16 activations: compare relative to the update magnitude
+    denom = max(1.0, float(np.abs(a).max()))
+    assert np.abs(a - b).max() / denom < 0.08, np.abs(a - b).max()
+    # and close agreement in the mean
+    assert np.abs(a - b).mean() / denom < 0.01
+
+
+def test_fused_gnn_forward_matches_module(rng):
+    """superglue_forward_fused (interpret) vs SuperGlue.apply: same param
+    tree, >=98% identical matches end-to-end."""
+    from forest_slam_tpu.frontend.pallas_gnn import superglue_forward_fused
+    from forest_slam_tpu.frontend.superglue import SuperGlue
+
+    cfg = SuperGlueConfig(
+        gnn_layers=2, sinkhorn_iterations=5, attention_impl="xla",
+        sinkhorn_impl="xla",
+    )
+    sg = SuperGlue(cfg)
+    M = 128
+    xy0 = jnp.asarray(rng.uniform(0, 100, (1, M, 2)), jnp.float32)
+    xy1 = xy0 + 1.0
+    sc = jnp.ones((1, M))
+    d0 = jnp.asarray(rng.normal(size=(1, M, 256)), jnp.float32)
+    d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+    valid = jnp.asarray(rng.random((1, M)) > 0.2)
+    params = sg.init(jax.random.PRNGKey(0), xy0, sc, d0, valid,
+                     xy1, sc, d0, valid, (120, 160))
+    rx = sg.apply(params, xy0, sc, d0, valid, xy1, sc, d0, valid, (120, 160))
+    rf = superglue_forward_fused(
+        params, cfg, xy0, sc, d0, valid, xy1, sc, d0, valid, (120, 160),
+        interpret=True,
+    )
+    agree = np.mean(np.asarray(rx.matches0) == np.asarray(rf.matches0))
+    assert agree > 0.98, f"only {agree:.3f} of matches agree"
+    both = (np.asarray(rx.matches0) >= 0) & (
+        np.asarray(rx.matches0) == np.asarray(rf.matches0)
+    )
+    ds = np.abs(
+        np.asarray(rx.matching_scores0) - np.asarray(rf.matching_scores0)
+    )[both]
+    assert ds.max() < 0.05 if both.any() else True
+
+
 def test_fused_attention_gradient(rng):
     """The custom VJP (ADVICE r3: pallas_call has no differentiation rule)
     must deliver the dense path's gradients through the fused kernel."""
