@@ -630,6 +630,7 @@ def cmd_distill_frontend(args) -> int:
         pool_frames=args.pool_frames,
         pool_height=args.pool_height, pool_width=args.pool_width,
         w_scale=args.w_scale,
+        w_blur=args.w_blur,
     )
     state, history, payload = distill(
         cfg, args.steps, seed=args.seed, log_every=args.log_every,
@@ -764,6 +765,11 @@ def main(argv=None) -> int:
     p.add_argument("--w-scale", type=float, default=2.0,
                    help="cross-scale descriptor-consistency weight "
                         "(0 disables the zoom-augmented term)")
+    p.add_argument("--w-blur", type=float, default=0.0,
+                   help="blur-robustness consistency weight: the student "
+                        "must reproduce the teacher's clean-image "
+                        "detector/descriptors on motion-blurred views "
+                        "(the thesis's corruptor, quirk B9; 0 disables)")
     p.set_defaults(fn=cmd_distill_frontend)
 
     args = ap.parse_args(argv)

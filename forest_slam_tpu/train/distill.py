@@ -83,6 +83,19 @@ class DistillConfig(NamedTuple):
     w_scale: float = 2.0
     scale_min: float = 1.2
     scale_max: float = 2.0
+    # Blur-robustness consistency (round 4, VERDICT r3 #4): the student
+    # also sees each image under the thesis's motion-blur corruptor
+    # (utils/corrupt.py — random regions, line kernel; quirk B9
+    # machinery) and must reproduce the teacher's CLEAN-image detector
+    # distribution and descriptors at the same cells (blur moves no
+    # pixels, so no geometric warp is needed). This is what makes the
+    # distilled checkpoint's matching survive the blur50 bench gate —
+    # the stem-4 flagship distilled WITHOUT it measured 21/23 / 0.162 m
+    # where the stem-1 teacher scored 31/31 / 0.002 m. w_blur=0 disables.
+    w_blur: float = 0.0
+    blur_kernel: int = 15
+    blur_pct_min: float = 25.0  # per-image region percentage range
+    blur_pct_max: float = 75.0
 
 
 class DistillState(NamedTuple):
@@ -267,6 +280,38 @@ def _zoom_batch(key: jax.Array, images: jax.Array, cfg: DistillConfig):
     return jax.vmap(one)(images, s), s
 
 
+def _blur_batch(key: jax.Array, images: jax.Array, cfg: DistillConfig):
+    """Per-image random motion blur (random region percentage and angle),
+    the reference corruptor's semantics (utils/corrupt.py: seed pixels at
+    the requested density dilated to kernel-size boxes select blurred
+    regions) with traced per-image percentage/angle."""
+    from jax import lax as _lax
+
+    from forest_slam_tpu.utils.corrupt import apply_motion_blur
+
+    B = images.shape[0]
+    k = cfg.blur_kernel
+    kp, ka, km = jax.random.split(key, 3)
+    pcts = jax.random.uniform(
+        kp, (B,), minval=cfg.blur_pct_min / 100.0,
+        maxval=cfg.blur_pct_max / 100.0,
+    )
+    angles = jax.random.uniform(ka, (B,), minval=0.0, maxval=180.0)
+    mkeys = jax.random.split(km, B)
+
+    def one(img, pct, ang, mk):
+        blurred = apply_motion_blur(img, k, ang)
+        seeds = jax.random.uniform(mk, img.shape) < pct
+        mask = _lax.reduce_window(
+            seeds.astype(jnp.float32), 0.0, _lax.max,
+            window_dimensions=(k, k), window_strides=(1, 1),
+            padding="SAME",
+        )
+        return jnp.where(mask > 0, blurred, img)
+
+    return jax.vmap(one)(images, pcts, angles, mkeys)
+
+
 def _sample_cells_at_zoom(grid: jax.Array, s: jax.Array) -> jax.Array:
     """Bilinearly sample a (B, Hc, Wc, C) cell grid of the *source* image
     at the source positions of the zoomed image's cell centers. Cell
@@ -292,12 +337,16 @@ def _sample_cells_at_zoom(grid: jax.Array, s: jax.Array) -> jax.Array:
 
 
 def distill_loss(
-    student_params, teacher_out, images, cfg: DistillConfig, zoom=None
+    student_params, teacher_out, images, cfg: DistillConfig, zoom=None,
+    blurred=None,
 ):
     """Teacher raw outputs + images -> (loss, metrics). ``zoom``, when
     given, is ``(images_z, s)`` from :func:`_zoom_batch`; the student's
     descriptors on the zoomed view are pulled toward the teacher's
-    scale-1.0 descriptors at the corresponding source cells."""
+    scale-1.0 descriptors at the corresponding source cells. ``blurred``
+    (from :func:`_blur_batch`) adds the blur-robustness term: the
+    student's detector AND descriptors on the corrupted view must match
+    the teacher's clean-image targets cell-for-cell."""
     student = _student_net(cfg)
     s = student.apply(student_params, images / 255.0)
 
@@ -343,6 +392,17 @@ def distill_loss(
         total = total + cfg.w_scale * l_scale
         metrics["scale"] = l_scale
 
+    if blurred is not None:
+        s_b = student.apply(student_params, blurred / 255.0)
+        logp_b = jax.nn.log_softmax(s_b.det_logits, axis=-1)
+        l_bdet = -jnp.mean(jnp.sum(t_probs * logp_b, axis=-1))
+        cos_b = jnp.sum(s_b.coarse_desc * t_desc, axis=-1)
+        l_bdesc = jnp.mean(w * (1.0 - cos_b))
+        l_blur = l_bdet + cfg.w_desc / cfg.w_det * l_bdesc \
+            if cfg.w_det > 0 else l_bdesc
+        total = total + cfg.w_blur * l_blur
+        metrics["blur"] = l_blur
+
     metrics["loss"] = total
     return total, metrics
 
@@ -354,10 +414,11 @@ def _distill_step_raw(
     images,
     cfg: DistillConfig,
     zoom=None,
+    blurred=None,
 ):
     t_out = teacher.apply(teacher_params, images / 255.0)
     grads, metrics = jax.grad(distill_loss, has_aux=True)(
-        state.params, t_out, images, cfg, zoom
+        state.params, t_out, images, cfg, zoom, blurred
     )
     updates, opt_state = _make_optimizer(cfg).update(
         grads, state.opt_state, state.params
@@ -380,11 +441,14 @@ def distill_steps_scan(
     on-device inside lax.scan, as train_steps_scan)."""
 
     def one(st, bk):
-        bk, zk = jax.random.split(bk)
+        bk, zk, blk = jax.random.split(bk, 3)
         images = _distill_batch(bk, cfg, pool)
         zoom = _zoom_batch(zk, images, cfg) if cfg.w_scale > 0 else None
+        blurred = (
+            _blur_batch(blk, images, cfg) if cfg.w_blur > 0 else None
+        )
         return _distill_step_raw(
-            st, teacher, teacher_params, images, cfg, zoom
+            st, teacher, teacher_params, images, cfg, zoom, blurred
         )
 
     def body(carry, _):

@@ -161,3 +161,35 @@ def test_distill_steps_with_scale_term(teacher_ckpt):
     assert int(state.step) == 4
     assert np.isfinite(history[-1][1]["loss"])
     assert "scale" in history[-1][1]
+
+
+def test_blur_consistency_term(teacher_ckpt):
+    """With blurred given: a student holding the teacher's params has
+    near-zero blur loss on an UNBLURRED copy (targets are the clean
+    teacher outputs) and a finite, larger one on real blurred views."""
+    from forest_slam_tpu.train.distill import _blur_batch, distill_loss as dl
+
+    cfg = tiny_cfg(teacher_ckpt, stem_stride=1, w_blur=1.0)
+    teacher, t_params, _, _ = load_teacher(cfg)
+    imgs = jnp.asarray(
+        np.random.RandomState(4).uniform(0, 255, (2, 48, 64)), jnp.float32
+    )
+    t_out = teacher.apply(t_params, imgs / 255.0)
+    # identity "blur": student-on-clean == teacher-on-clean -> only the
+    # CE self-entropy floor remains in the detector part
+    _, m_id = dl(t_params, t_out, imgs, cfg, blurred=imgs)
+    blurred = _blur_batch(jax.random.PRNGKey(0), imgs, cfg)
+    assert blurred.shape == imgs.shape
+    assert float(jnp.abs(blurred - imgs).max()) > 0  # something changed
+    _, m_b = dl(t_params, t_out, imgs, cfg, blurred=blurred)
+    assert np.isfinite(float(m_b["blur"]))
+    assert float(m_b["blur"]) > float(m_id["blur"]) - 1e-6
+
+
+def test_distill_steps_with_blur_term(teacher_ckpt):
+    cfg = tiny_cfg(teacher_ckpt, w_blur=1.0, blur_kernel=5)
+    pool = make_pool(cfg)
+    state, history, _ = distill(cfg, 4, log_every=4, pool=pool, seed=1)
+    assert int(state.step) == 4
+    assert np.isfinite(history[-1][1]["loss"])
+    assert "blur" in history[-1][1]
