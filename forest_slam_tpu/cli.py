@@ -631,6 +631,7 @@ def cmd_distill_frontend(args) -> int:
         pool_height=args.pool_height, pool_width=args.pool_width,
         w_scale=args.w_scale,
         w_blur=args.w_blur,
+        w_subpix=args.w_subpix,
     )
     state, history, payload = distill(
         cfg, args.steps, seed=args.seed, log_every=args.log_every,
@@ -770,6 +771,12 @@ def main(argv=None) -> int:
                         "must reproduce the teacher's clean-image "
                         "detector/descriptors on motion-blurred views "
                         "(the thesis's corruptor, quirk B9; 0 disables)")
+    p.add_argument("--w-subpix", type=float, default=0.0,
+                   help="sub-pixel-preserving weight: match the "
+                        "student's in-cell detector center of mass to "
+                        "the teacher's (what the com3 readout consumes; "
+                        "needed when distilling a subpix teacher into a "
+                        "faster stem; 0 disables)")
     p.set_defaults(fn=cmd_distill_frontend)
 
     args = ap.parse_args(argv)

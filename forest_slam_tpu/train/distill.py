@@ -96,6 +96,16 @@ class DistillConfig(NamedTuple):
     blur_kernel: int = 15
     blur_pct_min: float = 25.0  # per-image region percentage range
     blur_pct_max: float = 75.0
+    # Sub-pixel-preserving distillation (round 4, VERDICT r3 #3): the
+    # com3 readout (frontend/superpoint.py) recovers fractional keypoint
+    # positions from the heatmap's local mass distribution — the property
+    # that carries plain-config wide-baseline tracking. Plain CE on the
+    # 65-way cell distribution preserves WHERE mass goes only to cell
+    # granularity; this term matches the student's in-cell expected
+    # offset (center of mass of the 64 position bins) to the teacher's,
+    # kp-weighted, in pixels^2 — round 3's stem-4 students distilled
+    # without it dropped plain K=10 from 15/15 to 9/15. 0 disables.
+    w_subpix: float = 0.0
 
 
 class DistillState(NamedTuple):
@@ -371,6 +381,27 @@ def distill_loss(
         "desc": l_desc,
         "cos_kp": jnp.sum(kp * cos) / jnp.maximum(jnp.sum(kp), 1e-6),
     }
+
+    if cfg.w_subpix > 0:
+        # in-cell center of mass of the 64 position bins (8x8 within the
+        # cell), in pixels — the quantity the com3 readout consumes
+        pos = jnp.arange(64)
+        py = (pos // 8).astype(jnp.float32)
+        px = (pos % 8).astype(jnp.float32)
+
+        def cell_com(logits):
+            p = jax.nn.softmax(logits[..., :64], axis=-1)
+            return jnp.stack(
+                [jnp.sum(p * px, axis=-1), jnp.sum(p * py, axis=-1)],
+                axis=-1,
+            )  # (B, Hc, Wc, 2)
+
+        com_err = jnp.sum(
+            (cell_com(s.det_logits) - cell_com(t_logits)) ** 2, axis=-1
+        )  # (B, Hc, Wc) px^2
+        l_subpix = jnp.mean(w * com_err)
+        total = total + cfg.w_subpix * l_subpix
+        metrics["subpix"] = l_subpix
 
     if zoom is not None:
         images_z, ratios = zoom

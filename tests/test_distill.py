@@ -193,3 +193,20 @@ def test_distill_steps_with_blur_term(teacher_ckpt):
     assert int(state.step) == 4
     assert np.isfinite(history[-1][1]["loss"])
     assert "blur" in history[-1][1]
+
+
+def test_subpix_preservation_term(teacher_ckpt):
+    """w_subpix: zero when the student IS the teacher; finite positive
+    for a random student."""
+    cfg = tiny_cfg(teacher_ckpt, stem_stride=1, w_subpix=1.0)
+    teacher, t_params, _, _ = load_teacher(cfg)
+    imgs = jnp.asarray(
+        np.random.RandomState(5).uniform(0, 255, (2, 48, 64)), jnp.float32
+    )
+    t_out = teacher.apply(t_params, imgs / 255.0)
+    _, m_id = distill_loss(t_params, t_out, imgs, cfg)
+    assert float(m_id["subpix"]) < 1e-8
+    rand = create_student_state(jax.random.PRNGKey(9), cfg)
+    _, m_r = distill_loss(rand.params, t_out, imgs, cfg)
+    assert np.isfinite(float(m_r["subpix"]))
+    assert float(m_r["subpix"]) > 1e-4
