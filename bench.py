@@ -61,7 +61,7 @@ sys.path.insert(0, REPO)
 # frontend.weights.flagship_path() without importing jax before the
 # --platform flag is handled.
 _FLAGSHIP_TIERS = (
-    "learned_frontend_stem4_wb_distilled.msgpack",
+    "learned_frontend_stem4_wb_blur2.msgpack",
     "learned_frontend_stem2_distilled.msgpack",
     "learned_frontend.msgpack",
 )

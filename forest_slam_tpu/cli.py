@@ -594,6 +594,8 @@ def cmd_train_frontend(args) -> int:
         corridor_scene=args.corridor_scene,
         detector_soft=args.detector_soft,
         w_zoom=args.w_zoom,
+        zoom_max=args.zoom_max,
+        blur_fraction=args.blur_fraction,
     )
     state, history = train(cfg, args.steps, seed=args.seed, log_every=args.log_every)
     for step, m in history:
@@ -738,6 +740,15 @@ def main(argv=None) -> int:
     p.add_argument("--w-zoom", type=float, default=0.0,
                    help="scale-equivariance descriptor loss weight "
                         "(1.2-2.0x central zoom InfoNCE)")
+    p.add_argument("--zoom-max", type=float, default=2.0,
+                   help="upper zoom ratio for the w-zoom term (a K=20 "
+                        "keyframe gap is ~1.6-2x apparent scale)")
+    p.add_argument("--blur-fraction", type=float, default=0.0,
+                   help="share of training images (each view, "
+                        "independent) degraded with the reference's "
+                        "random-region motion blur (quirk B9) — blur "
+                        "robustness must be trained in, the bench "
+                        "blur50 gate checks it; 0 disables")
     p.set_defaults(fn=cmd_train_frontend)
 
     p = sub.add_parser(

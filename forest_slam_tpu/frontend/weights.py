@@ -25,16 +25,19 @@ _WEIGHTS_DIR = os.path.join(
 # default and what distill-frontend distills from.
 DEFAULT_PATH = os.path.join(_WEIGHTS_DIR, "learned_frontend.msgpack")
 
-# The flagship inference checkpoint — ONE checkpoint for every regime:
-# the wide-baseline stem-2 teacher distilled into the space-to-depth
-# stem-4 student with the cross-scale consistency term (train/distill.py).
-# Benched at 163 pairs/s / ATE 0.0530 m at 960x600 K=1, lowres gate
-# 23/23 at 0.0122 m, K=10 15/15 / 0.006 m, K=20 7/7 / 0.014 m with the
-# --wide-baseline stack (BASELINE.md round-2 table) — the best recorded
-# numbers at every K. The stem-2 distilled checkpoint is the fallback
-# tier.
+# The flagship inference checkpoint (round 4): the wide-baseline stem-2
+# teacher distilled into the space-to-depth stem-4 student with the
+# cross-scale consistency term AND the blur-robustness term
+# (train/distill.py w_scale + w_blur, 20k steps) — the round-3 flagship
+# distilled without w_blur failed the blur50 gate (21/23 / 0.162 m),
+# and a 12k-step w_blur=1.0 variant traded away one forest K=20 frame;
+# 20k steps at w_blur=0.7 recovers both. Benched (BENCH round 4,
+# device runner): 300.2 pairs/s / ATE 0.0316 m at 960x600 K=1, lowres
+# 23/23 / 0.0221, wb_k10 15/15 / 0.0083, wb_k20 7/7 / 0.0126, fwb_k20
+# 7/7 / 0.0467, blur50 23/23 / 0.007 — every thesis gate green on one
+# checkpoint. The stem-2 distilled checkpoint is the fallback tier.
 FLAGSHIP_PATH = os.path.join(
-    _WEIGHTS_DIR, "learned_frontend_stem4_wb_distilled.msgpack"
+    _WEIGHTS_DIR, "learned_frontend_stem4_wb_blur2.msgpack"
 )
 _FLAGSHIP_FALLBACK = os.path.join(
     _WEIGHTS_DIR, "learned_frontend_stem2_distilled.msgpack"

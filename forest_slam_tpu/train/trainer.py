@@ -71,6 +71,16 @@ class TrainConfig(NamedTuple):
     w_zoom: float = 0.0
     zoom_min: float = 1.2
     zoom_max: float = 2.0
+    # Motion-blur input augmentation (round 4): the stem2-subpix plain
+    # tier trained WITHOUT it collapses under the bench's blur50 gate
+    # (0/23 — the thesis's robustness knob, quirk B9). A ``blur_fraction``
+    # share of all training images (both views, independent draws) get
+    # the reference corruptor's random-region line blur (kernel 15,
+    # random angle, region share 25-75%); the geometric GT labels are
+    # blur-invariant, so supervision is unchanged — the front-end simply
+    # learns to detect/describe through the degradation. 0 disables.
+    blur_fraction: float = 0.0
+    blur_kernel: int = 15
 
 
 class TrainState(NamedTuple):
@@ -206,6 +216,43 @@ def _train_step_raw(state: TrainState, batch: TrainingBatch, cfg: TrainConfig):
 train_step = functools.partial(jax.jit, static_argnums=(2,))(_train_step_raw)
 
 
+def _blur_training_batch(
+    key: jax.Array, batch: TrainingBatch, cfg: TrainConfig
+) -> TrainingBatch:
+    """Blur a ``cfg.blur_fraction`` share of both views (independent
+    draws; random region percentage 25-75% and angle) — the reference
+    corruptor's semantics. Labels are untouched (blur moves no pixels)."""
+    from forest_slam_tpu.utils.corrupt import apply_motion_blur
+
+    k = cfg.blur_kernel
+
+    def blur_stack(sk, images):
+        B = images.shape[0]
+        ksel, kp, ka, km = jax.random.split(sk, 4)
+        sel = jax.random.uniform(ksel, (B,)) < cfg.blur_fraction
+        pcts = jax.random.uniform(kp, (B,), minval=0.25, maxval=0.75)
+        angles = jax.random.uniform(ka, (B,), minval=0.0, maxval=180.0)
+        mkeys = jax.random.split(km, B)
+
+        def one(img, on, pct, ang, mk):
+            blurred = apply_motion_blur(img, k, ang)
+            seeds = jax.random.uniform(mk, img.shape) < pct
+            mask = jax.lax.reduce_window(
+                seeds.astype(jnp.float32), 0.0, jax.lax.max,
+                window_dimensions=(k, k), window_strides=(1, 1),
+                padding="SAME",
+            )
+            return jnp.where(on & (mask > 0), blurred, img)
+
+        return jax.vmap(one)(images, sel, pcts, angles, mkeys)
+
+    k0, k1 = jax.random.split(key)
+    return batch._replace(
+        image0=blur_stack(k0, batch.image0),
+        image1=blur_stack(k1, batch.image1),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def train_steps_scan(
     state: TrainState, key: jax.Array, cfg: TrainConfig, n_steps: int,
@@ -218,10 +265,13 @@ def train_steps_scan(
     of the last step)."""
 
     def one(st, bk):
+        bk, blk = jax.random.split(bk)
         batch = make_training_batch(
             bk, cfg.batch_size, cfg.height, cfg.width, cfg.max_corners,
             cfg.texture_fraction, cfg.corridor_fraction, corridor_pool,
         )
+        if cfg.blur_fraction > 0:
+            batch = _blur_training_batch(blk, batch, cfg)
         return _train_step_raw(st, batch, cfg)
 
     def body(carry, _):

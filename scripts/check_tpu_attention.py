@@ -78,47 +78,82 @@ def main() -> int:
     cfg_f = cfg_x._replace(attention_impl="fused")
     sg_x, sg_f = SuperGlue(cfg_x), SuperGlue(cfg_f)
 
-    M = 1024
-    xy0 = jnp.asarray(rng.uniform(0, 900, (B, M, 2)), jnp.float32)
-    xy1 = xy0 + jnp.asarray(rng.normal(scale=2.0, size=(B, M, 2)), jnp.float32)
-    sc = jnp.asarray(rng.random((B, M)), jnp.float32)
-    d0 = jnp.asarray(rng.normal(size=(B, M, 256)), jnp.float32)
-    d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
-    d1 = d0 + 0.1 * jnp.asarray(
-        rng.normal(size=(B, M, 256)), jnp.float32
-    )
-    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
-    valid = jnp.asarray(rng.random((B, M)) > 0.1)
-
+    # real inputs: trained SuperPoint extractions from two rendered
+    # corridor frames (random descriptors are correctly rejected by the
+    # trained matcher, which would make this comparison vacuous)
     weights_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "weights", "learned_frontend_stem4_wb_distilled.msgpack",
+        "weights", "learned_frontend_stem4_wb_blur2.msgpack",
     )
     params = None
+    feats = None
     if os.path.exists(weights_path):
         try:
-            from flax import serialization
+            from forest_slam_tpu.frontend.weights import (
+                load_learned_frontend,
+            )
+            from forest_slam_tpu.io.synthetic import (
+                corridor_trajectory,
+                default_rig,
+                make_corridor_world,
+                render_view,
+            )
 
-            with open(weights_path, "rb") as f:
-                state = serialization.msgpack_restore(f.read())
-            if "__meta__" in state:
-                state = state["params"]
-            if "superglue" in state:
-                params = jax.tree.map(
-                    jnp.asarray, {"params": state["superglue"]["params"]}
+            H, W = 600, 960
+            fe, fp = load_learned_frontend(
+                (H, W), path=weights_path, max_keypoints=1024
+            )
+            cfg_x = cfg_x._replace(
+                gnn_layers=fe.cfg.superglue.gnn_layers,
+                sinkhorn_iterations=fe.cfg.superglue.sinkhorn_iterations,
+            )
+            cfg_f = cfg_x._replace(attention_impl="fused")
+            sg_x, sg_f = SuperGlue(cfg_x), SuperGlue(cfg_f)
+            world = make_corridor_world(jax.random.PRNGKey(0))
+            rig = default_rig(H, W, baseline=0.25)
+            Ts = corridor_trajectory(2, speed=0.3)
+            im = []
+            for T in Ts:
+                img, _ = render_view(
+                    world, jnp.asarray(T), jnp.asarray(rig.left.K), H, W
                 )
-                print("# using trained flagship SuperGlue params")
+                im.append(img)
+            feats = jax.jit(fe.extract)(fp, jnp.stack(im))
+            params = fp["superglue"]
+            print("# using trained flagship params on rendered frames")
         except Exception as e:
-            print(f"# trained params unavailable ({e}); random init")
-    if params is None:
+            print(f"# trained inputs unavailable ({e}); random init")
+
+    if feats is not None:
+        f0 = jax.tree.map(lambda a: a[0:1], feats)
+        f1 = jax.tree.map(lambda a: a[1:2], feats)
+        args = (
+            f0.xy, f0.score, f0.desc, f0.valid,
+            f1.xy, f1.score, f1.desc, f1.valid, (600, 960),
+        )
+    else:
+        M = 1024
+        xy0 = jnp.asarray(rng.uniform(0, 900, (B, M, 2)), jnp.float32)
+        xy1 = xy0 + jnp.asarray(
+            rng.normal(scale=2.0, size=(B, M, 2)), jnp.float32
+        )
+        sc = jnp.asarray(rng.random((B, M)), jnp.float32)
+        d0 = jnp.asarray(rng.normal(size=(B, M, 256)), jnp.float32)
+        d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+        d1 = d0 + 0.1 * jnp.asarray(
+            rng.normal(size=(B, M, 256)), jnp.float32
+        )
+        d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+        valid = jnp.asarray(rng.random((B, M)) > 0.1)
         params = sg_x.init(
             jax.random.PRNGKey(0), xy0, sc, d0, valid, xy1, sc, d1, valid,
             (600, 960),
         )
-
-    args = (xy0, sc, d0, valid, xy1, sc, d1, valid, (600, 960))
+        args = (xy0, sc, d0, valid, xy1, sc, d1, valid, (600, 960))
     rx = jax.jit(sg_x.apply)(params, *args)
     rf = jax.jit(sg_f.apply)(params, *args)
+
+    min_matches = 50 if feats is not None else 0
 
     def compare(tag, ra, rb, min_agree=0.99, max_ds=0.05):
         ma, mb = np.asarray(ra.matches0), np.asarray(rb.matches0)
@@ -132,6 +167,9 @@ def main() -> int:
             f"# {tag}: {n_match} matches, index agreement {agree:.4f}, "
             f"max score delta on common matches {ds:.4f}"
         )
+        if n_match < min_matches:
+            print(f"FAIL [{tag}]: too few matches — comparison is vacuous")
+            return False
         if agree < min_agree:
             print(f"FAIL [{tag}]: match indices diverge")
             return False
