@@ -592,12 +592,23 @@ def cmd_train_frontend(args) -> int:
         corridor_fraction=args.corridor_fraction,
         corridor_pool_size=args.corridor_pool,
         corridor_scene=args.corridor_scene,
+        forest_share=args.forest_share,
+        corridor_min_forward=args.corridor_min_forward,
+        corridor_max_forward=args.corridor_max_forward,
         detector_soft=args.detector_soft,
         w_zoom=args.w_zoom,
         zoom_max=args.zoom_max,
         blur_fraction=args.blur_fraction,
     )
-    state, history = train(cfg, args.steps, seed=args.seed, log_every=args.log_every)
+    state = None
+    if args.init_from:
+        from forest_slam_tpu.train.trainer import load_train_state
+
+        state = load_train_state(args.init_from, cfg, jax.random.PRNGKey(args.seed + 1))
+        print(f"# warm-started from {args.init_from}")
+    state, history = train(
+        cfg, args.steps, seed=args.seed, log_every=args.log_every, state=state
+    )
     for step, m in history:
         print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
     out = args.out or DEFAULT_PATH
@@ -733,6 +744,15 @@ def main(argv=None) -> int:
     p.add_argument("--corridor-scene", default="corridor",
                    choices=["corridor", "forest", "mix"],
                    help="world(s) for the 3D-supervised pool")
+    p.add_argument("--forest-share", type=float, default=0.5,
+                   help="forest fraction of a 'mix' corridor pool")
+    p.add_argument("--corridor-min-forward", type=float, default=0.15,
+                   help="min forward gap (m) of 3D-supervised pairs")
+    p.add_argument("--corridor-max-forward", type=float, default=3.0,
+                   help="max forward gap (m); 3.0 = K=20 at walking pace")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start params from an existing checkpoint "
+                        "(optimizer reset; architecture must match)")
     p.add_argument("--detector-soft", action="store_true",
                    help="bilinear-soft sub-pixel detector targets; the "
                         "checkpoint meta then enables the com3 sub-pixel "

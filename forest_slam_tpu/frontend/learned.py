@@ -162,7 +162,26 @@ class LearnedFrontend:
         image_shape: tuple[int, int],
     ) -> MatchResult:
         cfg = self.cfg.superglue
-        if _gnn_fused_dispatch(cfg, f0.xy.shape[-2], f1.xy.shape[-2]):
+        # The fused whole-layer GNN kernel has no VJP (inference only); a
+        # caller differentiating through match_features (e.g. a library
+        # user fine-tuning on TPU at lane-aligned shapes) must get the
+        # differentiable Flax path, not a missing-VJP trace error
+        # (ADVICE r4). In-repo training differentiates SuperGlue.apply
+        # directly, so this guard is purely for external callers.
+        from jax._src.interpreters import ad as _ad
+
+        _grad_tracers = tuple(
+            t for t in (getattr(_ad, "JVPTracer", None),
+                        getattr(_ad, "LinearizeTracer", None))
+            if t is not None
+        )
+        under_grad = any(
+            isinstance(x, _grad_tracers)
+            for x in jax.tree.leaves((params, f0, f1))
+        )
+        if not under_grad and _gnn_fused_dispatch(
+            cfg, f0.xy.shape[-2], f1.xy.shape[-2]
+        ):
             from forest_slam_tpu.frontend.pallas_gnn import (
                 superglue_forward_fused,
             )

@@ -55,9 +55,16 @@ _LN_EPS = 1e-6  # flax.linen.LayerNorm default
 
 
 def gnn_fused_ok(K: int, S: int, D: int, num_heads: int) -> bool:
-    """Shapes the fused layer kernel accepts."""
+    """Shapes the fused layer kernel accepts.
+
+    K == S is required because superglue_forward_fused batches the two
+    images' descriptor sets along the leading axis (jnp.concatenate) —
+    unequal slot counts would pass the per-axis alignment checks and then
+    crash in the concatenate (ADVICE r4).
+    """
     return (
-        K % 128 == 0
+        K == S
+        and K % 128 == 0
         and S % 128 == 0
         and D % 128 == 0
         and D % num_heads == 0

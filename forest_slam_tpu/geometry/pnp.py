@@ -47,35 +47,56 @@ def _spd_inverse_unrolled(B: jax.Array) -> jax.Array:
     matrix dimension with batched-unfriendly dynamic control flow; for the
     tiny SPD systems RANSAC minimal solvers produce (n = 12, batch ~1e3)
     an unrolled factorization is pure elementwise/VPU work over the batch.
-    Each column step is O(n) fused vector ops; the triangular inverse is
-    built column-by-column the same way, and the result is one batched
-    matmul: B^-1 = L^-T L^-1.
+
+    Both triangles are assembled COLUMN-WISE in python lists and stacked
+    once at the end. The earlier formulation updated full (..., n, n)
+    matrices with ``.at[].set`` per column — each update copies the whole
+    operand, and at RANSAC batch shapes those copies were the single
+    largest byte bill in PnP (measured ~100 MB/pair of XLA-counted
+    traffic, scripts/probe_pnp_bytes.py). Column lists keep every
+    intermediate at (..., n) and cut the solve to arithmetic-only traffic.
     """
     n = B.shape[-1]
-    L = jnp.zeros_like(B)
+    iota = jnp.arange(n)
+    zero_vec = jnp.zeros(B.shape[:-2] + (n,), B.dtype)
+    # Cholesky: cols[j][..., i] = L[i, j] (zeros above the diagonal)
+    cols: list[jax.Array] = []
     for j in range(n):
-        # d_j = B[j,j] - sum_k<j L[j,k]^2  (the [..., :j] slices are static)
-        d = B[..., j, j] - jnp.sum(L[..., j, :j] * L[..., j, :j], axis=-1)
+        rowj = [cols[k][..., j] for k in range(j)]  # L[j, k], k < j
+        d = B[..., j, j]
+        for r in rowj:
+            d = d - r * r
         d = jnp.sqrt(jnp.maximum(d, 1e-30))
-        L = L.at[..., j, j].set(d)
-        if j + 1 < n:
-            # rows below: L[i,j] = (B[i,j] - L[i,:j] @ L[j,:j]) / d
-            r = B[..., j + 1 :, j] - jnp.einsum(
-                "...ik,...k->...i", L[..., j + 1 :, :j], L[..., j, :j],
-                precision=_HI,
+        colv = B[..., :, j]
+        for k in range(j):
+            colv = colv - cols[k] * rowj[k][..., None]
+        colv = colv / d[..., None]
+        cols.append(
+            jnp.where(
+                iota == j, d[..., None], jnp.where(iota > j, colv, 0.0)
             )
-            L = L.at[..., j + 1 :, j].set(r / d[..., None])
-    # unrolled inverse of L (lower triangular): forward substitution on I
-    Li = jnp.zeros_like(B)
+        )
+    # inverse of L column-by-column: forward substitution on basis vectors;
+    # L[i, k] = cols[k][..., i], diag L[i, i] = cols[i][..., i]
+    zero_s = zero_vec[..., 0]
+    Li_cols: list[jax.Array] = []
     for j in range(n):
-        e = jnp.zeros(B.shape[:-2] + (n,), B.dtype).at[..., j].set(1.0)
-        x = jnp.zeros(B.shape[:-2] + (n,), B.dtype)
+        xs: list[jax.Array | None] = [None] * n
         for i in range(j, n):
-            s = e[..., i] - jnp.einsum(
-                "...k,...k->...", L[..., i, :i], x[..., :i], precision=_HI
-            )
-            x = x.at[..., i].set(s / L[..., i, i])
-        Li = Li.at[..., :, j].set(x)
+            acc = None
+            for k in range(j, i):
+                term = cols[k][..., i] * xs[k]
+                acc = term if acc is None else acc + term
+            num = -acc if acc is not None else None
+            if i == j:
+                num = 1.0 + num if num is not None else 1.0 + zero_s
+            xs[i] = num / cols[i][..., i]
+        col = jnp.stack(
+            [xs[i] if xs[i] is not None else zero_s for i in range(n)],
+            axis=-1,
+        )
+        Li_cols.append(col)
+    Li = jnp.stack(Li_cols, axis=-1)  # (..., n, n), lower triangular
     return jnp.einsum("...ki,...kj->...ij", Li, Li, precision=_HI)
 
 
@@ -127,6 +148,32 @@ def nullspace_inverse_iteration(
 
     v, _ = jax.lax.scan(body, v, None, length=iters)
     return v
+
+
+def _gather_rows(data: jax.Array, idx: jax.Array) -> jax.Array:
+    """(N, C) f32 gathered at (H, S) int32 -> (H, S, C), as one-hot MXU
+    contractions instead of an XLA gather.
+
+    Under the pipelines' pair-vmap, XLA lowers the advanced-indexing
+    gather of RANSAC minimal samples to ~50 MB/pair of HBM traffic
+    (measured: 2.5 GB per 48-pair chunk for a (1024, 6) x (1024, 5)
+    gather, scripts/probe_pnp_bytes.py). The same selection as a one-hot
+    matmul is MXU work on a ~13 MB bf16 operand (~0.02 GB/chunk). The
+    hi/lo bf16 split keeps the result exact to ~2^-16 relative (bf16
+    truncation of the residual), far below any geometric tolerance
+    downstream.
+    """
+    N = data.shape[0]
+    onehot = (idx[..., None] == jnp.arange(N)).astype(jnp.bfloat16)
+    hi = data.astype(jnp.bfloat16)
+    lo = (data - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.einsum(
+        "hsn,nc->hsc", onehot, hi, preferred_element_type=jnp.float32
+    )
+    out = out + jnp.einsum(
+        "hsn,nc->hsc", onehot, lo, preferred_element_type=jnp.float32
+    )
+    return out
 
 
 def _dlt_rows(pts3d: jax.Array, xn: jax.Array) -> jax.Array:
@@ -513,11 +560,19 @@ def solve_pnp_ransac(
             [xn, jnp.ones(xn.shape[:-1] + (1,), xn.dtype)], axis=-1
         )
         fbear = fbear / jnp.linalg.norm(fbear, axis=-1, keepdims=True)
-        Ps = jax.vmap(_p3p_grunert)(pts3d[idx], fbear[idx]).reshape(-1, 3, 4)
+        sampled = _gather_rows(
+            jnp.concatenate([pts3d, fbear], axis=-1), idx
+        )  # (H, 3, 6)
+        Ps = jax.vmap(_p3p_grunert)(
+            sampled[..., :3], sampled[..., 3:]
+        ).reshape(-1, 3, 4)
     else:
         idx = ransac_sample_indices(key, valid, n_hypotheses, 6, weights)
         # raw (un-orthogonalized) hypotheses: scoring is scale/sign-invariant
-        A = _dlt_rows(pts3d[idx], xn[idx])  # (H, 12, 12)
+        sampled = _gather_rows(
+            jnp.concatenate([pts3d, xn], axis=-1), idx
+        )  # (H, 6, 5)
+        A = _dlt_rows(sampled[..., :3], sampled[..., 3:])  # (H, 12, 12)
         Ps = nullspace_inverse_iteration(A, 12).reshape(-1, 3, 4)
 
     N = pts3d.shape[0]

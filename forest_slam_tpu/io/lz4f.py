@@ -121,6 +121,8 @@ def decompress(data: bytes, verify_checksums: bool = True) -> bytes:
         i += bsize
         if block_checksum:
             # xxh32 of the block bytes exactly as stored in the frame
+            if i + 4 > len(data):
+                raise ValueError("lz4: truncated block checksum")
             want = struct.unpack("<I", data[i : i + 4])[0]
             i += 4
             if verify_checksums and _xxh32(block) != want:
@@ -130,6 +132,8 @@ def decompress(data: bytes, verify_checksums: bool = True) -> bytes:
         else:
             _decompress_block(block, out)
     if content_checksum:
+        if i + 4 > len(data):
+            raise ValueError("lz4: truncated content checksum")
         want = struct.unpack("<I", data[i : i + 4])[0]
         i += 4
         if verify_checksums and _xxh32(bytes(out)) != want:

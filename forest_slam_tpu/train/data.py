@@ -295,6 +295,9 @@ def make_corridor_pool(
     max_corners: int = 48,
     chunk: int = 32,
     scene: str = "corridor",
+    forest_share: float = 0.5,
+    min_forward: float = 0.15,
+    max_forward: float = 3.0,
 ) -> "TrainingBatch":
     """Pre-rendered 3D-supervised forward-motion pairs, stacked on axis 0.
 
@@ -315,15 +318,22 @@ def make_corridor_pool(
         fns[sc] = jax.jit(
             lambda ks, sc=sc: jax.vmap(
                 lambda k: corridor_pair(
-                    k, height, width, max_corners, noise_sigma=0.0, scene=sc
+                    k, height, width, max_corners, noise_sigma=0.0, scene=sc,
+                    min_forward=min_forward, max_forward=max_forward,
                 )
             )(ks)
         )
     keys = jax.random.split(key, n_pairs)
     outs = []
+    n_chunks = n_pairs // chunk
+    # "mix": deterministic forest/corridor interleave hitting the requested
+    # forest_share over the whole pool (errors < 1 chunk)
+    forest_cum = 0
     for ci, s in enumerate(range(0, n_pairs, chunk)):
         if scene == "mix":
-            sc = "forest" if ci % 2 else "corridor"
+            want = int(round((ci + 1) * forest_share))
+            sc = "forest" if forest_cum < want else "corridor"
+            forest_cum += sc == "forest"
         else:
             sc = scene
         outs.append(fns[sc](keys[s : s + chunk]))

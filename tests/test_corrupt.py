@@ -7,10 +7,13 @@ import pytest
 
 from forest_slam_tpu.utils.corrupt import (
     BlurConfig,
+    SensorConfig,
     apply_motion_blur,
     apply_random_motion_blur,
+    apply_sensor_nuisance,
     corrupt_stack,
     motion_blur_kernel,
+    sensor_shift_stack,
 )
 
 
@@ -59,6 +62,43 @@ def test_corrupt_stack_per_frame_independent():
     cfg = BlurConfig(blur_percentage=10.0, kernel_size=5)
     out = np.asarray(corrupt_stack(imgs, jax.random.PRNGKey(0), cfg))
     # identical inputs, different keys -> different masks
+    assert not np.array_equal(out[0], out[1])
+
+
+def test_sensor_nuisance_bounded_and_keyed():
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (96, 128)) * 200.0 + 20.0
+    cfg = SensorConfig()
+    out1 = np.asarray(apply_sensor_nuisance(img, jax.random.PRNGKey(1), cfg))
+    out2 = np.asarray(apply_sensor_nuisance(img, jax.random.PRNGKey(2), cfg))
+    assert out1.shape == img.shape
+    assert (out1 >= 0).all() and (out1 <= 255).all()
+    # different keys -> different photometric draws
+    assert not np.array_equal(out1, out2)
+    # the shift is photometric, not geometric: correlation with the clean
+    # image stays high (structure preserved) but the images differ
+    a = (out1 - out1.mean()).ravel()
+    b = (np.asarray(img) - np.asarray(img).mean()).ravel()
+    corr = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert corr > 0.8
+    assert np.abs(out1 - np.asarray(img)).mean() > 1.0
+
+
+def test_sensor_vignette_darkens_corners():
+    img = jnp.full((128, 128), 200.0)
+    cfg = SensorConfig(max_gain=0.0, max_bias=0.0, max_gamma=0.0,
+                       shot_sigma=0.0, read_sigma=0.0, vignette=0.4)
+    out = np.asarray(apply_sensor_nuisance(img, jax.random.PRNGKey(0), cfg))
+    assert out[0, 0] < out[64, 64] * 0.75
+    # center nearly untouched
+    assert abs(out[64, 64] - 200.0) < 2.0
+
+
+def test_sensor_stack_per_frame_independent():
+    imgs = jnp.tile(
+        jnp.linspace(0, 255, 48 * 64).reshape(1, 48, 64), (3, 1, 1)
+    )
+    out = np.asarray(sensor_shift_stack(imgs, jax.random.PRNGKey(0)))
     assert not np.array_equal(out[0], out[1])
 
 
