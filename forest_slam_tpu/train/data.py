@@ -323,12 +323,16 @@ def make_corridor_pool(
                 )
             )(ks)
         )
+    import sys
+    import time
+
     keys = jax.random.split(key, n_pairs)
     outs = []
     n_chunks = n_pairs // chunk
     # "mix": deterministic forest/corridor interleave hitting the requested
     # forest_share over the whole pool (errors < 1 chunk)
     forest_cum = 0
+    t0 = time.time()
     for ci, s in enumerate(range(0, n_pairs, chunk)):
         if scene == "mix":
             want = int(round((ci + 1) * forest_share))
@@ -336,7 +340,19 @@ def make_corridor_pool(
             forest_cum += sc == "forest"
         else:
             sc = scene
-        outs.append(fns[sc](keys[s : s + chunk]))
+        out = fns[sc](keys[s : s + chunk])
+        # host fetch: block_until_ready is a no-op on the tunneled axon
+        # platform; without a real barrier the whole pool queues and a
+        # stall is invisible (round-5 note: a 4096-pair pool showed zero
+        # progress for an hour with no way to tell compile from wedge)
+        float(jnp.sum(out.image0[-1, ::37, ::37]))
+        outs.append(out)
+        if ci % 8 == 0 or ci == n_chunks - 1:
+            print(
+                f"# pool chunk {ci + 1}/{n_chunks} ({sc}) "
+                f"{time.time() - t0:.0f}s",
+                file=sys.stderr, flush=True,
+            )
     return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
 
 

@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("--gate", required=True,
                     choices=["wb_k10", "wb_k20", "fwb_k20", "plain_k10",
                              "plain_k20", "fplain_k10", "blur50",
-                             "blur_wb_k10"])
+                             "blur_wb_k10", "domain_shift"])
     ap.add_argument("--weights", required=True)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0])
     args = ap.parse_args()
@@ -75,6 +75,7 @@ def main() -> None:
         "fplain_k10": ("forest", 16, 1.5, "plain"),
         "blur50": ("corridor", 24, 0.15, "blur"),
         "blur_wb_k10": ("corridor", 16, 1.5, "blur_wb"),
+        "domain_shift": ("corridor", 16, 1.5, "shift_wb"),
     }[args.gate]
     scene, nF, speed, mode = spec
 
@@ -131,7 +132,7 @@ def main() -> None:
         compose_mode="odometry",
         match_refine_radius=12,
     )
-    if mode in ("wb", "blur_wb"):
+    if mode in ("wb", "blur_wb", "shift_wb"):
         cfg = base._replace(
             match_refine_radius=24,
             match_refine_scales=(1.0, 1.2, 1.44, 1.7),
@@ -145,9 +146,15 @@ def main() -> None:
         cfg = base
         scales = (1.0,)
     if mode in ("blur", "blur_wb"):
+        kb = (7, 8) if mode == "blur" else (17, 18)  # match bench keys
         bc = BlurConfig(blur_percentage=50.0, kernel_size=15, angle_deg=45.0)
-        il = corrupt_stack(il, jax.random.PRNGKey(7), bc)
-        ir = corrupt_stack(ir, jax.random.PRNGKey(8), bc)
+        il = corrupt_stack(il, jax.random.PRNGKey(kb[0]), bc)
+        ir = corrupt_stack(ir, jax.random.PRNGKey(kb[1]), bc)
+    if mode == "shift_wb":
+        from forest_slam_tpu.utils.corrupt import sensor_shift_stack
+
+        il = sensor_shift_stack(il, jax.random.PRNGKey(27))
+        ir = sensor_shift_stack(ir, jax.random.PRNGKey(28))
 
     fe, fp = load_learned_frontend(
         (H, W), path=args.weights, max_keypoints=n_kpts, scales=scales,
