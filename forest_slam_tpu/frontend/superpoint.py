@@ -181,19 +181,28 @@ def _sample_coarse_descriptors(
     return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
-def subpixel_com3(heat: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Array:
-    """Refine integer peak coords by the 3x3 heat center of mass.
+def subpixel_com(
+    heat: jax.Array, xy: jax.Array, valid: jax.Array, radius: int = 1
+) -> jax.Array:
+    """Refine integer peak coords by the (2r+1)^2 heat center of mass.
 
-    Dense formulation: the numerator/denominator fields are separable 3x3
+    Dense formulation: the numerator/denominator fields are separable
     convolutions of the heatmap, so per keypoint only 3 gathers remain.
-    Offsets are clipped to (-0.5, 0.5) — a true corner farther than half a
-    pixel from the peak would have made the neighbouring pixel the peak.
+    ``radius=1`` is the com3 readout trained in round 3; ``radius=2``
+    (com5) integrates a wider mass support — under forward-motion scale
+    change the detector's soft peak spreads beyond 3x3, and the wider
+    window tracks the true corner with less truncation bias. Offsets are
+    clipped to (-0.5, 0.5) for r=1 (a true corner farther than half a
+    pixel from the peak would have made the neighbouring pixel the peak)
+    and (-1.0, 1.0) for wider windows (neighbouring-cell mass can
+    legitimately pull past the half-pixel line when the peak is broad).
     """
     from forest_slam_tpu.utils.filters import conv2d_separable
 
     H, W = heat.shape
-    k_sum = jnp.ones((3,), jnp.float32)
-    k_off = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    n = 2 * radius + 1
+    k_sum = jnp.ones((n,), jnp.float32)
+    k_off = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     den = conv2d_separable(heat, k_sum, k_sum)
     num_x = conv2d_separable(heat, k_off, k_sum)
     num_y = conv2d_separable(heat, k_sum, k_off)
@@ -201,8 +210,14 @@ def subpixel_com3(heat: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Array
     yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, H - 1)
     d = jnp.maximum(den[yi, xi], 1e-12)
     off = jnp.stack([num_x[yi, xi] / d, num_y[yi, xi] / d], axis=-1)
-    off = jnp.clip(off, -0.5, 0.5)
+    lim = 0.5 if radius == 1 else 1.0
+    off = jnp.clip(off, -lim, lim)
     return xy + off * valid[:, None]
+
+
+def subpixel_com3(heat: jax.Array, xy: jax.Array, valid: jax.Array) -> jax.Array:
+    """3x3 center-of-mass readout (see :func:`subpixel_com`)."""
+    return subpixel_com(heat, xy, valid, radius=1)
 
 
 def select_keypoints(
@@ -284,8 +299,10 @@ def select_keypoints(
             axis=-1,
         )
         xy = xy * valid[:, None]
-        if cfg.subpixel == "com3":
-            xy = subpixel_com3(h, xy, valid)
+        if cfg.subpixel in ("com3", "com5"):
+            xy = subpixel_com(
+                h, xy, valid, radius=1 if cfg.subpixel == "com3" else 2
+            )
         desc = _sample_coarse_descriptors(
             d, xy, sample_dtype=cfg.desc_sample_dtype
         )
@@ -329,8 +346,10 @@ def select_keypoints(
             axis=-1,
         )
         xy = xy * valid[:, None]
-        if cfg.subpixel == "com3":
-            xy = subpixel_com3(h, xy, valid)
+        if cfg.subpixel in ("com3", "com5"):
+            xy = subpixel_com(
+                h, xy, valid, radius=1 if cfg.subpixel == "com3" else 2
+            )
         desc = _sample_coarse_descriptors(
             d, xy, sample_dtype=cfg.desc_sample_dtype
         )

@@ -30,6 +30,9 @@ def main() -> None:
                              "blur_wb_k10", "domain_shift"])
     ap.add_argument("--weights", required=True)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0])
+    ap.add_argument("--subpixel", default=None,
+                    choices=["none", "com3", "com5"],
+                    help="override the checkpoint's sub-pixel readout")
     args = ap.parse_args()
 
     from forest_slam_tpu.utils import enable_compilation_cache
@@ -156,9 +159,12 @@ def main() -> None:
         il = sensor_shift_stack(il, jax.random.PRNGKey(27))
         ir = sensor_shift_stack(ir, jax.random.PRNGKey(28))
 
+    overrides = {}
+    if args.subpixel is not None:
+        overrides["subpixel"] = args.subpixel
     fe, fp = load_learned_frontend(
         (H, W), path=args.weights, max_keypoints=n_kpts, scales=scales,
-        superglue_overrides={"softmax_dtype": "bfloat16"},
+        superglue_overrides={"softmax_dtype": "bfloat16"}, **overrides,
     )
     for seed in args.seeds:
         outs = run_stereo_vo_batched(

@@ -366,3 +366,25 @@ def test_fused_attention_tpu_numerics():
     assert proc.returncode == 0, (
         f"TPU attention check failed:\n{proc.stdout}\n{proc.stderr}"
     )
+
+
+def test_subpixel_com5_recovers_broad_peak():
+    """The com5 readout (round 5) recovers the center of a broad soft
+    peak much closer than com3 — the wide-baseline regime's detector
+    peaks spread beyond 3x3 under forward-motion scale change."""
+    import numpy as np
+    from forest_slam_tpu.frontend.superpoint import subpixel_com
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(16.0), jnp.arange(24.0), indexing="ij"
+    )
+    cx, cy = 10.7, 5.4
+    heat = jnp.exp(-(((xs - cx) / 1.3) ** 2 + ((ys - cy) / 1.3) ** 2))
+    xy = jnp.array([[11.0, 5.0]])
+    v = jnp.ones(1, bool)
+    e = {}
+    for r in (1, 2):
+        out = np.asarray(subpixel_com(heat, xy, v, radius=r))[0]
+        e[r] = float(np.hypot(out[0] - cx, out[1] - cy))
+    assert e[2] < 0.1
+    assert e[2] < 0.5 * e[1]

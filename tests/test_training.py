@@ -191,3 +191,23 @@ def test_sharded_train_step_on_mesh():
     assert any(
         not x.sharding.is_fully_replicated for x in kernels
     ), "no kernel ended up tensor-sharded"
+
+
+def test_warm_start_roundtrip(tmp_path):
+    """load_train_state restores saved params exactly (optimizer reset) —
+    the round-5 continuation-training path (--init-from)."""
+    import jax
+    import numpy as np
+    from forest_slam_tpu.frontend.weights import save_params
+    from forest_slam_tpu.train.trainer import load_train_state
+
+    st = create_train_state(jax.random.PRNGKey(3), TINY)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_params(st.params, path, meta={"stem_stride": 1})
+    st2 = load_train_state(path, TINY, jax.random.PRNGKey(4))
+    leaves1 = jax.tree.leaves(st.params)
+    leaves2 = jax.tree.leaves(st2.params)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(st2.step) == 0
