@@ -322,7 +322,7 @@ def five_point_candidates(
 
     def polish(s):
         """Gauss-Newton on the cubic constraints, computed DIRECTLY from
-        E(s) = xX + yY + zZ + W with 3x3 matrix arithmetic.
+        E(s) = xX + yY + zZ + W.
 
         The degree-10 resultant polynomial built in float32 drifts roots
         by up to ~1e-1 in hard configurations (measured), and the
@@ -331,22 +331,63 @@ def five_point_candidates(
         2 E E^T E - tr(E E^T) E from the matrices themselves (float32
         relative error ~1e-6) and takes damped GN steps on those 10
         residuals over the 3 unknowns.
+
+        Every product is SCALAR-UNROLLED (no matmul/det/solve ops): under
+        the (hypotheses x 10 roots) vmap, batched 3x3 dot_generals pad to
+        MXU tiles and the polish dominated the whole solver (stage probe
+        scripts/probe_fivepoint_stages.py: ~45 of 74 ms). Unrolled, the
+        same arithmetic is lane-parallel VPU work.
         """
 
         def r(s):
             E = s[0] * basis[0] + s[1] * basis[1] + s[2] * basis[2] + basis[3]
-            mm = lambda a, b: jnp.matmul(a, b, precision=_HI)
-            EEt = mm(E, E.T)
-            tc = 2.0 * mm(EEt, E) - jnp.trace(EEt) * E
-            return jnp.concatenate(
-                [jnp.linalg.det(E)[None], tc.reshape(9)]
+            e = [[E[i, j] for j in range(3)] for i in range(3)]
+            # P = E E^T, symmetric 3x3 of batch scalars
+            P = [
+                [sum(e[i][k] * e[j][k] for k in range(3)) for j in range(3)]
+                for i in range(3)
+            ]
+            tr = P[0][0] + P[1][1] + P[2][2]
+            tc = [
+                2.0 * sum(P[i][k] * e[k][j] for k in range(3)) - tr * e[i][j]
+                for i in range(3)
+                for j in range(3)
+            ]
+            detE = (
+                e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+                - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+                + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0])
             )
+            return jnp.stack([detE] + tc)
 
         def step(s, _):
             J = jax.jacfwd(r)(s)  # (10, 3)
-            H = jnp.matmul(J.T, J, precision=_HI) + 1e-12 * jnp.eye(3)
-            g = jnp.einsum("rc,r->c", J, r(s), precision=_HI)
-            ds = jnp.linalg.solve(H, g)
+            rv = r(s)
+            # H = J^T J + damping, g = J^T r — unrolled (symmetric 3x3)
+            Jc = [J[:, 0], J[:, 1], J[:, 2]]
+            h = [[jnp.sum(Jc[a] * Jc[b]) for b in range(3)] for a in range(3)]
+            for a in range(3):
+                h[a][a] = h[a][a] + 1e-12
+            g = [jnp.sum(Jc[a] * rv) for a in range(3)]
+            # Cramer's rule on the SPD 3x3
+            det = (
+                h[0][0] * (h[1][1] * h[2][2] - h[1][2] * h[2][1])
+                - h[0][1] * (h[1][0] * h[2][2] - h[1][2] * h[2][0])
+                + h[0][2] * (h[1][0] * h[2][1] - h[1][1] * h[2][0])
+            )
+            det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+
+            def rep(col):
+                m = [[h[a][b] for b in range(3)] for a in range(3)]
+                for a in range(3):
+                    m[a][col] = g[a]
+                return (
+                    m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                    - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                    + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+                )
+
+            ds = jnp.stack([rep(0) / det, rep(1) / det, rep(2) / det])
             s_new = s - ds
             ok = jnp.all(jnp.isfinite(s_new))
             return jnp.where(ok, s_new, s), None
@@ -372,10 +413,18 @@ def five_point_candidates(
         rows = rows / jnp.maximum(
             jnp.linalg.norm(rows, axis=-1, keepdims=True), 1e-30
         )
-        M = rows[:, :2]
-        b = -rows[:, 2]
-        H2 = jnp.matmul(M.T, M, precision=_HI) + 1e-12 * jnp.eye(2)
-        xy = jnp.linalg.solve(H2, jnp.einsum("rc,r->c", M, b, precision=_HI))
+        # normal equations of the 3x2 LS system, scalar-unrolled (a
+        # batched 2x2 linalg.solve pads to MXU tiles under the root vmap)
+        a0, a1, bb = rows[:, 0], rows[:, 1], -rows[:, 2]
+        m00 = jnp.sum(a0 * a0) + 1e-12
+        m01 = jnp.sum(a0 * a1)
+        m11 = jnp.sum(a1 * a1) + 1e-12
+        g0 = jnp.sum(a0 * bb)
+        g1 = jnp.sum(a1 * bb)
+        det2 = m00 * m11 - m01 * m01
+        det2 = jnp.where(jnp.abs(det2) < 1e-30, 1e-30, det2)
+        xy = jnp.stack([(m11 * g0 - m01 * g1) / det2,
+                        (m00 * g1 - m01 * g0) / det2])
         w_ok = jnp.all(jnp.isfinite(xy))
         x = jnp.where(w_ok, xy[0], 0.0)
         y = jnp.where(w_ok, xy[1], 0.0)
