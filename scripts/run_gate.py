@@ -33,6 +33,14 @@ def main() -> None:
     ap.add_argument("--subpixel", default=None,
                     choices=["none", "com3", "com5"],
                     help="override the checkpoint's sub-pixel readout")
+    ap.add_argument("--pnp", default=None, choices=["dlt6", "p3p"],
+                    help="override the PnP minimal solver for the gate")
+    ap.add_argument("--accept", default="odometry",
+                    choices=["odometry", "reference"],
+                    help="pose-acceptance semantics: 'odometry' = the "
+                         "rebuild's ratio-OR-absolute inlier gate; "
+                         "'reference' = the reference's bare >=6-points "
+                         "accept-all (quirk B5, stereo_slam.py:292-294)")
     args = ap.parse_args()
 
     from forest_slam_tpu.utils import enable_compilation_cache
@@ -144,10 +152,14 @@ def main() -> None:
         scales = (1.0, 0.707, 0.5)
     elif mode == "plain":
         cfg = base._replace(match_refine_radius=0)
+        if args.accept == "reference":
+            cfg = cfg._replace(min_inlier_ratio=0.0)
         scales = (1.0,)
     else:
         cfg = base
         scales = (1.0,)
+    if args.pnp is not None:
+        cfg = cfg._replace(pnp_minimal=args.pnp)
     if mode in ("blur", "blur_wb"):
         kb = (7, 8) if mode == "blur" else (17, 18)  # match bench keys
         bc = BlurConfig(blur_percentage=50.0, kernel_size=15, angle_deg=45.0)
