@@ -64,8 +64,21 @@ WIDE_BASELINE_PATH = os.path.join(
 # scripts/diag_wide_baseline.py). K=20 plain still needs the
 # wide-baseline stack. Distilling it into stem-4 loses the sub-pixel
 # margin (9/15 at K=10), so this tier stays stem-2.
-PLAIN_WB_PATH = os.path.join(
-    _WEIGHTS_DIR, "learned_frontend_stem2_subpix.msgpack"
+_PLAIN_TIERS = (
+    # round 5: the subpix checkpoint continued 12k steps at lr 3e-5 on a
+    # wide-gap (0.9-3.2 m forward) forest-heavy pool — plain K=10 improves
+    # to 15/15 / 0.037-0.042 m on BOTH bench seeds (the r3/r4 tier was
+    # seed-flaky: 14/15 / 0.70 at seed 1) and forest plain K=10 climbs
+    # 1/15 -> 7/15 (full campaign table in BASELINE.md round-5 section).
+    # Aggressive continuation (lr 3e-4) measurably DESTROYS the tier
+    # (0/15) — the low LR is load-bearing.
+    "learned_frontend_stem2_subpix_wide.msgpack",
+    "learned_frontend_stem2_subpix.msgpack",
+)
+PLAIN_WB_PATH = next(
+    (p for n in _PLAIN_TIERS
+     if os.path.exists(p := os.path.join(_WEIGHTS_DIR, n))),
+    os.path.join(_WEIGHTS_DIR, _PLAIN_TIERS[-1]),
 )
 
 

@@ -108,6 +108,18 @@ class StereoConfig(NamedTuple):
     # filtering by refine-ok removes most of the garbage *before* the
     # ratio gate, which is what makes wide-baseline tracking possible.
     match_refine_filter: bool = True
+    # Per-frame photometric normalization at ingest (round 5): every
+    # frame is remapped to a fixed mean/std (127 +- 48, clipped to
+    # [0, 255]) before extraction, depth, and refinement. Motivation:
+    # under per-frame exposure/gamma drift (a real camera's AE — the
+    # bench's domain_shift gate) the SAD refinement compares patches
+    # ACROSS frames with mismatched gain and collapses (measured 5/15
+    # tracked on the shifted domain without this; the networks
+    # themselves are exposure-jitter-trained and survive). The classical
+    # exposure-compensation stage of production SLAM front-ends; off by
+    # default for reference parity (the reference feeds raw frames,
+    # stereo_slam.py:184-204).
+    photo_norm: bool = False
     # Scale ratios the refiner searches (RefineConfig.scales). (1.0,) is
     # plain fixed-scale SAD; wide-baseline (large keyframe interval)
     # tracking needs e.g. (1.0, 1.2, 1.44) to absorb forward-motion
@@ -399,6 +411,17 @@ class _FrameSlab(NamedTuple):
     z_ok: jax.Array  # (N, K) validity
 
 
+@jax.jit
+def photo_normalize_stack(images: jax.Array) -> jax.Array:
+    """Per-frame exposure compensation: remap each (H, W) frame to mean
+    127 / std 48 (clipped to [0, 255]). Makes cross-frame SAD comparisons
+    (sparse stereo, match refinement) invariant to per-frame gain/bias/
+    gamma-at-first-order drift — see StereoConfig.photo_norm."""
+    mean = jnp.mean(images, axis=(-2, -1), keepdims=True)
+    std = jnp.maximum(jnp.std(images, axis=(-2, -1), keepdims=True), 1e-3)
+    return jnp.clip((images - mean) / std * 48.0 + 127.0, 0.0, 255.0)
+
+
 def _frame_features(img_l, img_r, rig: StereoRig, cfg: StereoConfig,
                     frontend: FrontendFns, fparams):
     """Extract features + per-keypoint depth for one frame (batched phase 1).
@@ -562,6 +585,9 @@ def run_stereo_vo_batched(
     goes through the full extract/depth/match/PnP work; only HBM residency
     of the images is reduced (used by bench.py to cycle a rendered clip).
     """
+    if cfg.photo_norm:
+        images_l = photo_normalize_stack(images_l)
+        images_r = photo_normalize_stack(images_r)
     if frame_indices is not None:
         frame_indices = jnp.asarray(frame_indices, jnp.int32)
         n = int(frame_indices.shape[0])
@@ -711,6 +737,9 @@ def run_stereo_vo_device(
     with ``lax.map(batch_size=...)`` standing in for the host chunk loops,
     so the whole thing can live inside jit / vmap / shard_map (used by the
     sharded multi-sequence evaluator, pipelines/batch_eval.py)."""
+    if cfg.photo_norm:
+        images_l = photo_normalize_stack(images_l)
+        images_r = photo_normalize_stack(images_r)
     n = images_l.shape[0]
     image_shape = images_l.shape[1:]
     feats, z, z_ok = jax.lax.map(

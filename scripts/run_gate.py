@@ -35,6 +35,14 @@ def main() -> None:
                     help="override the checkpoint's sub-pixel readout")
     ap.add_argument("--pnp", default=None, choices=["dlt6", "p3p"],
                     help="override the PnP minimal solver for the gate")
+    ap.add_argument("--photo-norm", action="store_true",
+                    help="enable per-frame photometric normalization "
+                         "(StereoConfig.photo_norm)")
+    ap.add_argument("--no-refine-filter", action="store_true",
+                    help="keep matches whose SAD refinement fails (the "
+                         "filter starves matching under heavy blur)")
+    ap.add_argument("--refine-scales", type=float, nargs="+", default=None,
+                    help="override the WB refine scale ladder")
     ap.add_argument("--accept", default="odometry",
                     choices=["odometry", "reference"],
                     help="pose-acceptance semantics: 'odometry' = the "
@@ -160,6 +168,12 @@ def main() -> None:
         scales = (1.0,)
     if args.pnp is not None:
         cfg = cfg._replace(pnp_minimal=args.pnp)
+    if args.photo_norm:
+        cfg = cfg._replace(photo_norm=True)
+    if args.no_refine_filter:
+        cfg = cfg._replace(match_refine_filter=False)
+    if args.refine_scales is not None:
+        cfg = cfg._replace(match_refine_scales=tuple(args.refine_scales))
     if mode in ("blur", "blur_wb"):
         kb = (7, 8) if mode == "blur" else (17, 18)  # match bench keys
         bc = BlurConfig(blur_percentage=50.0, kernel_size=15, angle_deg=45.0)

@@ -82,3 +82,19 @@ def test_stereo_parity_mode_runs(seq):
     )
     assert len(traj) == 5
     assert np.asarray(outs.ok).mean() > 0.8
+
+
+def test_photo_normalize_stack_cancels_exposure():
+    """Ingest exposure compensation (round 5): frames differing only by
+    gain/bias map to (nearly) the same normalized frame."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from forest_slam_tpu.pipelines.stereo import photo_normalize_stack
+
+    key = jax.random.PRNGKey(0)
+    base = jax.random.uniform(key, (1, 48, 64)) * 120.0 + 60.0
+    shifted = jnp.clip(base * 1.3 - 20.0, 0.0, 255.0)
+    out = np.asarray(photo_normalize_stack(jnp.concatenate([base, shifted])))
+    assert abs(out[0].mean() - 127.0) < 1.0
+    assert np.abs(out[0] - out[1]).mean() < 1.0
